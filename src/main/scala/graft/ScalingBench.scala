@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.Curate
+import graft.synth.Transcripts
+import graft.tableio.TableIO
+
+/** Two-cluster-size scaling evidence (BASELINE.json north_rule): the
+  * sandbox has no real cluster, so the same curate job runs at two
+  * parallelism levels (default local[8] vs local[32]) over the SAME
+  * materialized parquet input, and we report throughput at both plus
+  * scaling efficiency = T(N·k) / (k · T(N)).
+  *
+  * The job timed is read-parquet → curate → noop sink: map-only,
+  * so ideal scaling is linear in cores; measured efficiency is
+  * reported honestly in BASELINE.md / BENCH_r*.json.
+  */
+object ScalingBench {
+
+  /** min-of-reps timing: the sandbox VM shows double-digit CPU steal
+    * (/proc/stat), so single-shot wall times are unreliable; the MIN
+    * over repetitions approximates the un-stolen cost at each level.
+    */
+  def runAt(cpus: Int, inputPath: String, reps: Int = 3): (Long, Double) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warmup (codegen + model broadcast)
+    Bench.forceMaterialize(
+      Curate.curateDf(spark, Transcripts.dataset(spark, 30).toDF()))
+    val turns = spark.read.parquet(inputPath)
+    val n = turns.count()
+    val times = (1 to reps).map { i =>
+      val s = Bench.time {
+        Bench.forceMaterialize(Curate.curateDf(spark, turns))
+      }
+      System.err.println(f"[scaling] cpus=$cpus rep=$i sec=$s%.3f")
+      s
+    }
+    spark.stop()
+    (n, times.min)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "120000").toLong
+    val lowCpus = sys.env.getOrElse("SPARK_GRAFT_LOW", "8").toInt
+    val highCpus = sys.env.getOrElse("SPARK_GRAFT_HIGH", "32").toInt
+    val input = s"/tmp/graft-scaling-input-$nConvs"
+
+    // materialize the input once (outside all timed regions), with
+    // enough file splits for the high-parallelism run
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(input))) {
+      val s = SparkSession.builder().master(s"local[$highCpus]")
+        .config("spark.sql.shuffle.partitions", highCpus.toString)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      Transcripts.dataset(s, nConvs).toDF()
+        .repartition(highCpus * 4)
+        .write.mode("overwrite").parquet(input)
+      s.stop()
+    }
+
+    val (n1, sec1) = runAt(lowCpus, input)
+    val (n2, sec2) = runAt(highCpus, input)
+    require(n1 == n2)
+    val tp1 = n1 / sec1
+    val tp2 = n2 / sec2
+    val k = highCpus.toDouble / lowCpus
+    val eff = tp2 / (k * tp1)
+    println(
+      s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio",""" +
+        s""""turns":$n1,"low_cpus":$lowCpus,"high_cpus":$highCpus,""" +
+        s""""low_sec":${f"$sec1%.3f"},"high_sec":${f"$sec2%.3f"},""" +
+        s""""low_turns_per_sec":${f"$tp1%.1f"},"high_turns_per_sec":${f"$tp2%.1f"}}""")
+  }
+}

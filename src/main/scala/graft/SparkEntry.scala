@@ -1,13 +1,403 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+import graft.chunk.Chunker
+import graft.dedup.Dedup
+import graft.grammar.Cyk
+import graft.knn.Similarity
+import graft.multimodal.Multimodal
+import graft.pipeline.Curate
+import graft.rules.{GrammarRules, QualityRules}
+import graft.scrub.Scrubber
+import graft.synth.Transcripts
+import graft.textstats.TextStats
+
+/** Driver contract (SURVEY.md §7) — one query per implemented operator
+  * family from SURVEY.md §2; `oracleSql` carries the DuckDB-equivalent
+  * ANSI SQL for every SQL-expressible query (same column names, same
+  * deterministic ORDER BY). See COVERAGE.md for the §2 operator-id →
+  * query/file map.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Synth transcript scale per test tier (driver sf dirs). */
+  private def nConvsFor(dir: String): Long =
+    if (dir.contains("sf0.1")) 4000L
+    else if (dir.contains("sf0.01")) 400L
+    else 80L
+
+  private def synthTurns(s: SparkSession, dir: String) =
+    Transcripts.dataset(s, nConvsFor(dir)).toDF()
+
+  private def curated(s: SparkSession, dir: String): DataFrame =
+    Curate.curateDf(s, synthTurns(s, dir))
+
+  /** Flagship: the full curation pipeline end-to-end on a small synth
+    * corpus (driver smoke-checks rows > 0).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Curate.curateDf(spark, Transcripts.dataset(spark, 50).toDF())
+
+  // round for cross-engine double parity (both engines round AFTER
+  // computing in double precision; 1e-12-scale engine noise only)
+  private def r6(c: org.apache.spark.sql.Column) = F.round(c, 6)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core over driver tables (DuckDB-oracled) ----
+    "q1_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          F.round(F.sum("l_quantity"), 4).as("sum_qty"),
+          F.round(F.sum("l_extendedprice"), 4).as("sum_price"),
+          F.round(F.avg("l_discount"), 6).as("avg_disc"),
+          F.count(F.lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q2_join_topk" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(F.broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).as("revenue"),
+          F.count(F.lit(1)).as("n_orders"))
+        .orderBy(F.desc("revenue"), F.col("n_name"))
+        .limit(5)
+    }),
+    "q3_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      tbl(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_id"),
+          F.row_number().over(w).as("rn"))
+        .orderBy("user_id", "rn")
+    }),
+    "q11_events_hourly" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(F.col("event_type"), F.date_trunc("hour", F.col("ts")).as("hour"))
+        .agg(F.count(F.lit(1)).as("n"), F.round(F.sum("value"), 4).as("sum_value"))
+        .orderBy("event_type", "hour")
+    }),
+
+    // ---- text/projection operators over documents (DuckDB-oracled) ----
+    "q4_hash_project" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(F.col("doc_id"), F.md5(F.col("text")).as("content_hash"),
+          F.size(F.split(F.col("text"), " ", -1)).as("word_count"))
+        .orderBy("doc_id")
+    }),
+    "q5_minlen_filter" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .filter(F.size(F.split(F.col("text"), " ", -1)) >= 50)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+    "q6_dedup_exact" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .groupBy(F.md5(F.col("text")).as("content_hash"))
+        .agg(F.min("doc_id").as("doc_id"), F.count(F.lit(1)).as("n"))
+        .orderBy("doc_id")
+    }),
+    "q7_scrub" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(F.col("doc_id"),
+          Scrubber.scrubColReference(F.col("text")).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+    "q8_rule_match_counts" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.size(F.regexp_extract_all(F.col("text"), F.lit("\\bthe\\b"), F.lit(0))).as("n_the"),
+          F.size(F.regexp_extract_all(F.col("text"),
+            F.lit("\\b(he|she|it) are\\b"), F.lit(0))).as("n_sv"))
+        .orderBy("doc_id")
+    }),
+    "q9_quality" -> ((s, dir) => {
+      val t = F.col("text")
+      tbl(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.size(F.split(t, " ", -1)).as("word_count"),
+          r6(QualityRules.distinctRatioCol(t)).as("distinct_ratio"),
+          r6(QualityRules.symbolRatioCol(t)).as("symbol_ratio"),
+          QualityRules.boilerplateCol(t).as("boilerplate"))
+        .orderBy("doc_id")
+    }),
+    "q10_topk_sources" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .groupBy("source").agg(F.count(F.lit(1)).as("n"))
+        .orderBy(F.desc("n"), F.col("source"))
+        .limit(5)
+    }),
+    "q13_token_stats" -> ((s, dir) => {
+      val words = F.split(F.lower(F.col("text")), " ", -1)
+      tbl(s, dir, "documents")
+        .select(F.col("doc_id"),
+          TextStats.bpeTokenCount(F.col("text")).as("n_tokens"),
+          F.size(F.filter(words, w => w.isInCollection(TextStats.enStopwords)))
+            .as("n_stop"))
+        .orderBy("doc_id")
+    }),
+    "q14_new_words" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ", -1)).as("w"))
+        .filter(!F.col("w").isInCollection(Cyk.lexicon.keySet) && F.col("w") =!= "")
+        .distinct()
+        .orderBy("w")
+    }),
+    "q15_lang_summary" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n"), F.round(F.avg("n_chars"), 4).as("avg_chars"))
+        .orderBy("lang")
+    }),
+    "q12_knn" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") === 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      emb.filter(F.col("vec_id") =!= 0)
+        .select(F.col("vec_id"),
+          r6(Similarity.cosineCol(F.col("embedding").cast("array<double>"), q)).as("sim"))
+        .orderBy(F.desc("sim"), F.col("vec_id"))
+        .limit(5)
+    }),
+
+    // ---- curation pipeline + metrics (synth input; rows-only checks) ----
+    "curate_transcripts" -> ((s, dir) => {
+      curated(s, dir)
+        .select("conv_id", "turn_idx", "lang", "keep", "drop_reason",
+          "scrubbed_text")
+        .orderBy("conv_id", "turn_idx")
+    }),
+    "curate_metrics" -> ((s, dir) => Curate.metrics(curated(s, dir))),
+    "conv_reassemble" -> ((s, dir) => {
+      // R3: ordered per-conv reassembly (two-phase safe: collect_list
+      // then array_sort by turn_idx — order-insensitive upstream)
+      curated(s, dir)
+        .filter(F.col("keep"))
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).as("n_turns"),
+          F.concat_ws(" ",
+            F.transform(
+              F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("scrubbed_text")))),
+              x => x.getField("scrubbed_text"))).as("reassembled"))
+        .orderBy("conv_id")
+    }),
+    "change_detect" -> ((s, dir) => {
+      // R4: word-level diff original vs scrubbed, first 5 changes
+      val cur = curated(s, dir)
+      val a = F.split(F.col("text"), "\\s+")
+      val b = F.split(F.col("scrubbed_text"), "\\s+")
+      cur.filter(F.col("scrubbed_text") =!= F.col("text"))
+        .select(F.col("conv_id"), F.col("turn_idx"),
+          F.slice(F.filter(
+            F.zip_with(a, b, (x, y) => F.when(x =!= y, F.concat_ws("->", x, y))),
+            x => x.isNotNull), 1, 5).as("changes"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+    "grammar_hits_summary" -> ((s, dir) => {
+      // G9/A3: error counts by rule + avg confidence
+      val hitsU = F.udf((t: String) => GrammarRules.ruleHits(t))
+      synthTurns(s, dir)
+        .select(F.explode(hitsU(F.col("text"))).as("h"))
+        .groupBy(F.col("h.rule_id").as("rule_id"))
+        .agg(F.count(F.lit(1)).as("n"),
+          F.round(F.avg(F.col("h.confidence")), 6).as("avg_conf"))
+        .orderBy("rule_id")
+    }),
+    "cyk_parse" -> ((s, dir) => {
+      // G6/G7: CYK validity over canonical + synthesized sentences
+      import s.implicits._
+      val canonical = Seq(
+        "the dog sees the cat", "the teacher is good",
+        "he are running", "colorless green ideas sleep furiously")
+      val synth = Transcripts.trainingCorpus(seed = 3L, perLang = 10)
+        .filter(_._2 == "en").map(_._1).flatMap(Cyk.splitSentences)
+      (canonical ++ synth).toDF("sentence")
+        .withColumn("parsed",
+          F.udf((t: String) => Cyk.parseSentence(t)).apply(F.col("sentence")))
+        .select(F.col("sentence"), F.col("parsed.valid").as("valid"),
+          F.col("parsed.reason").as("reason"))
+        .orderBy("sentence")
+    }),
+
+    // ---- dedup family (synth input; rows-only checks) ----
+    "dedup_minhash" -> ((s, dir) => {
+      val t = synthTurns(s, dir)
+        .select(F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).as("id"),
+          F.col("text"))
+      Dedup.minhashNearDups(t, "id", "text", threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      val t = synthTurns(s, dir)
+        .select(F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).as("id"),
+          F.col("text"))
+      Dedup.simhashNearDups(t, "id", "text").orderBy("id_a", "id_b")
+    }),
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val t = synthTurns(s, dir)
+        .select(F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).as("id"),
+          F.col("text"))
+      Dedup.ngramJaccardPairs(t, "id", "text", threshold = 0.8)
+        .withColumn("jaccard", r6(F.col("jaccard")))
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_minhash_clusters" -> ((s, dir) => {
+      val t = synthTurns(s, dir)
+        .select(F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).as("id"),
+          F.col("text"))
+      Dedup.minhashClusters(t, "id", "text")
+        .filter(F.col("id") =!= F.col("rep_id")) // the near-dup rows
+        .orderBy("id")
+    }),
+    "dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          simThreshold = 0.25, nBits = 8, nBands = 4)
+        .withColumn("sim", r6(F.col("sim")))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity search (rows-only) ----
+    "ann_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Similarity.topKLsh(emb, "vec_id", "embedding", q, k = 5)
+        .withColumn("sim", r6(F.col("sim")))
+    }),
+    "ann_batch_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val qs = emb.filter(F.col("vec_id") < 4)
+      Similarity.topKBatch(emb, "vec_id", "embedding", qs, "vec_id", "embedding", k = 3)
+        .withColumn("sim", r6(F.col("sim")))
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- text analysis (rows-only where UDF-based) ----
+    "langid_documents" -> ((s, dir) => {
+      val m = Curate.defaultModels.langId
+      val u = F.udf((t: String) => m.predict(t))
+      tbl(s, dir, "documents")
+        .select(F.col("doc_id"), u(F.col("text")).as("p"))
+        .select(F.col("doc_id"), F.col("p._1").as("lang"),
+          r6(F.col("p._2")).as("conf"))
+        .orderBy("doc_id")
+    }),
+    "quality_score" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(F.col("doc_id"), TextStats.qualityScore(F.col("text")).as("score"))
+        .orderBy("doc_id")
+    }),
+    "fingerprint" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(F.col("doc_id"), TextStats.fingerprintUdf(F.col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    "chunk_documents" -> ((s, dir) => {
+      // C2/C4: overlapping chunker + posexplode
+      val u = F.udf((t: String) => Chunker.chunkText(t, 200, 20))
+      tbl(s, dir, "documents")
+        .select(F.col("doc_id"), F.posexplode(u(F.col("text"))).as(Seq("idx", "chunk")))
+        .orderBy("doc_id", "idx")
+    }),
+
+    // ---- multimodal plumbing (synthetic media; rows-only) ----
+    "multimodal_features" -> ((s, dir) => {
+      val n = if (dir.contains("sf0.1")) 2048 else 128
+      Multimodal.extractFeatures(s, Multimodal.synthMedia(s, n))
+        .toDF()
+        .select("media_id", "kind", "byte_len", "content_hash", "width",
+          "height", "duration_ms")
+        .orderBy("media_id")
+    }),
+    "multimodal_frames" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(s, Multimodal.synthMedia(s, 128)).toDF()
+      Multimodal.sampleFrames(feats).orderBy("media_id", "frame_offset_ms")
+    }),
+
+    // ---- dims / set ops (A7, J4) ----
+    "lexicon_merge" -> ((s, dir) => {
+      import s.implicits._
+      val base = Cyk.lexicon.toSeq.flatMap { case (w, ps) => ps.map(p => (w, p)) }
+      val extra = Seq(("spark", "N"), ("run", "N"), ("the", "DET")) // overlap on purpose
+      (base ++ extra).toDF("word", "pos")
+        .distinct()
+        .groupBy("word").agg(F.sort_array(F.collect_set("pos")).as("pos_tags"))
+        .orderBy("word")
+    })
+  )
+
+  /** DuckDB-runnable oracle SQL — MUST produce identical column names,
+    * values, and (sorted) rows as the Spark query on the same parquet
+    * dir. DuckDB regexp_replace needs the 'g' flag (Spark replaces all
+    * matches by default); both engines compute doubles in 64-bit and we
+    * round AFTER aggregation on both sides.
+    */
+  def oracleSql: Map[String, String] = {
+    val lexIn = Cyk.lexicon.keySet.toSeq.sorted
+      .map(w => s"'$w'").mkString("(", ", ", ")")
+    val stopIn = TextStats.enStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    Map(
+      "q1_agg" ->
+        ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, " +
+          "round(sum(l_extendedprice), 4) AS sum_price, round(avg(l_discount), 6) AS avg_disc, " +
+          "count(*) AS n FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+      "q2_join_topk" ->
+        ("SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey " +
+          "GROUP BY n_name ORDER BY revenue DESC, n_name LIMIT 5"),
+      "q3_window" ->
+        ("SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+          "FROM events ORDER BY user_id, rn"),
+      "q11_events_hourly" ->
+        ("SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, " +
+          "round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+      "q4_hash_project" ->
+        ("SELECT doc_id, md5(text) AS content_hash, " +
+          "len(string_split(text, ' ')) AS word_count FROM documents ORDER BY doc_id"),
+      "q5_minlen_filter" ->
+        ("SELECT doc_id, n_chars FROM documents " +
+          "WHERE len(string_split(text, ' ')) >= 50 ORDER BY doc_id"),
+      "q6_dedup_exact" ->
+        ("SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n " +
+          "FROM documents GROUP BY 1 ORDER BY 2"),
+      "q7_scrub" ->
+        (s"SELECT doc_id, ${Scrubber.scrubSqlReference("text")} AS scrubbed " +
+          "FROM documents ORDER BY doc_id"),
+      "q8_rule_match_counts" ->
+        ("SELECT doc_id, len(regexp_extract_all(text, '\\bthe\\b')) AS n_the, " +
+          "len(regexp_extract_all(text, '\\b(he|she|it) are\\b')) AS n_sv " +
+          "FROM documents ORDER BY doc_id"),
+      "q9_quality" ->
+        ("SELECT doc_id, len(string_split(text, ' ')) AS word_count, " +
+          "round(len(list_distinct(string_split(lower(text), ' '))) * 1.0 / len(string_split(text, ' ')), 6) AS distinct_ratio, " +
+          "round(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) * 1.0 / length(text), 6) AS symbol_ratio, " +
+          "regexp_matches(text, '(?i)(Cookie\\s+Policy|Privacy\\s+Policy|Terms\\s+of\\s+Service|Subscribe\\s+to.*newsletter|Follow\\s+us\\s+on|Share\\s+this)') AS boilerplate " +
+          "FROM documents ORDER BY doc_id"),
+      "q10_topk_sources" ->
+        "SELECT source, count(*) AS n FROM documents GROUP BY source ORDER BY n DESC, source LIMIT 5",
+      "q13_token_stats" ->
+        (s"SELECT doc_id, len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens, " +
+          s"len(list_filter(string_split(lower(text), ' '), x -> x IN $stopIn)) AS n_stop " +
+          "FROM documents ORDER BY doc_id"),
+      "q14_new_words" ->
+        (s"SELECT DISTINCT w FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) " +
+          s"WHERE w NOT IN $lexIn AND w <> '' ORDER BY w"),
+      "q15_lang_summary" ->
+        ("SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars " +
+          "FROM documents GROUP BY lang ORDER BY lang"),
+      "q12_knn" ->
+        ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) " +
+          "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim " +
+          "FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 5")
+    )
+  }
 }

@@ -1,0 +1,306 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operator family for large-scale training-data
+  * pipelines. The reference seeds only EXACT dedup (md5 content hash +
+  * first-wins, web_scraper.py:154,186-196); the near-dup operators
+  * (MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine) are the
+  * standard scale path (shingle → sketch → band → bucket-join) so the
+  * candidate join is an equi-join on (band, signature) — never an
+  * O(n²) cross product.
+  *
+  * All randomness is seeded constants — results are deterministic
+  * across runs and partitionings.
+  */
+object Dedup extends Serializable {
+
+  @inline private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Exact dedup, deterministic first-wins (SURVEY.md §2.2 P9): the
+    * reference keeps the FIRST doc per content hash (order-dependent
+    * set check, web_scraper.py:186-196); Spark's dropDuplicates keeps
+    * an arbitrary row, so we tie-break with row_number over an
+    * explicit ordering key.
+    */
+  def exactDedup(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(F.md5(F.col(textCol))).orderBy(F.col(orderCol))
+    df.withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Word n-gram shingle set (lowercased, distinct, hashed to Long). */
+  def shingles(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (words.length < n) {
+      return words.map(w => mix(w.hashCode.toLong)).distinct
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= words.length) {
+      var h = 0x2545f4914f6cdd1dL
+      var j = i
+      while (j < i + n) { h = mix(h ^ words(j).hashCode.toLong); j += 1 }
+      out.add(h)
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator(); var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    arr
+  }
+
+  /** MinHash signature: numHashes permutations h_i(x) = mix(x ^ seed_i). */
+  def minhashSignature(sh: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var f = 0
+      while (f < numHashes) {
+        val h = mix(sh(i) ^ mix(f.toLong + 0x100001b3L))
+        if (h < sig(f)) sig(f) = h
+        f += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) { // both sorted (TreeSet)
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  /** MinHash + LSH near-duplicate pairs (ids a < b, verified Jaccard ≥
+    * threshold). Plan shape: per-row sketch (map-only) → explode into
+    * `bands` rows → shuffle on (band, band_hash) equi-join →
+    * candidate dedup → exact-Jaccard verify on the (small) candidate
+    * set. The only shuffle keys are band buckets — no skew (hashes are
+    * uniform), no cross product.
+    */
+  def minhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val shU = F.udf((t: String) => shingles(t, shingleSize))
+    val sigU = F.udf((sh: Array[Long]) => minhashSignature(sh, numHashes))
+    val bandU = F.udf { (sig: Array[Long]) =>
+      (0 until bands).map { b =>
+        var h = 0x9e3779b97f4a7c15L
+        var r = 0
+        while (r < rows) { h = mix(h ^ sig(b * rows + r)); r += 1 }
+        (b, h)
+      }
+    }
+    val jacU = F.udf((a: Array[Long], b: Array[Long]) => jaccard(a, b))
+
+    val sketched = df
+      .select(F.col(idCol).as("id"), shU(F.col(textCol)).as("sh"))
+      .withColumn("bands", bandU(sigU(F.col("sh"))))
+    val banded = sketched
+      .select(F.col("id"), F.col("sh"), F.explode(F.col("bands")).as("b"))
+      .select(F.col("id"), F.col("sh"), F.col("b._1").as("band"), F.col("b._2").as("bh"))
+    val l = banded.select(F.col("band"), F.col("bh"),
+      F.col("id").as("id_a"), F.col("sh").as("sh_a"))
+    val r = banded.select(F.col("band"), F.col("bh"),
+      F.col("id").as("id_b"), F.col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bh"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard", jacU(F.col("sh_a"), F.col("sh_b")))
+      .filter(F.col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Scalable MinHash dedup: instead of emitting all O(group²)
+    * candidate pairs, each row is assigned the MIN id over all its LSH
+    * buckets as its cluster representative — per-bucket work is
+    * O(group), the shape that survives 10^12 rows with large duplicate
+    * groups (e.g. boilerplate repeated millions of times). Output:
+    * (id, rep_id); rows with id == rep_id are the survivors.
+    * One-pass bucket-min approximation: transitive chains longer than
+    * one hop keep their bucket-local representative (iterate to a fixed
+    * point for full connected components — rarely needed for dedup).
+    */
+  def minhashClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val shU = F.udf((t: String) => shingles(t, shingleSize))
+    val sigU = F.udf((sh: Array[Long]) => minhashSignature(sh, numHashes))
+    val bandU = F.udf { (sig: Array[Long]) =>
+      (0 until bands).map { b =>
+        var h = 0x9e3779b97f4a7c15L
+        var r = 0
+        while (r < rows) { h = mix(h ^ sig(b * rows + r)); r += 1 }
+        (b, h)
+      }
+    }
+    val banded = df
+      .select(F.col(idCol).as("id"), bandU(sigU(shU(F.col(textCol)))).as("bands"))
+      .select(F.col("id"), F.explode(F.col("bands")).as("b"))
+      .select(F.col("id"), F.col("b._1").as("band"), F.col("b._2").as("bh"))
+    val bucketMin = banded.groupBy("band", "bh").agg(F.min("id").as("bucket_rep"))
+    banded.join(bucketMin, Seq("band", "bh"))
+      .groupBy("id").agg(F.min("bucket_rep").as("rep_id"))
+  }
+
+  /** 64-bit SimHash over word unigrams. */
+  def simhash(text: String): Long = {
+    if (text == null) return 0L
+    val counts = new Array[Int](64)
+    text.toLowerCase.split("\\W+").foreach { w =>
+      if (w.nonEmpty) {
+        val h = mix(w.hashCode.toLong)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 4):
+    * 4-band pigeonhole — any pair within Hamming 3 shares at least one
+    * exact 16-bit band, so candidates come from 4 equi-join buckets.
+    *
+    * Scale guard: identical signatures (exact/near-exact duplicate
+    * text, e.g. boilerplate repeated millions of times) are collapsed
+    * to their min-id representative BEFORE banding — otherwise a group
+    * of size g emits O(g²) candidate rows. Output: intra-group dups as
+    * (rep, member, 0) plus inter-group pairs between representatives.
+    */
+  def simhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val shU = F.udf((t: String) => simhash(t))
+    val hamU = F.udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    val sigs = df.select(F.col(idCol).as("id"), shU(F.col(textCol)).as("sig"))
+    val groups = sigs.groupBy("sig").agg(F.min("id").as("rep"))
+    // intra-group: every non-rep member pairs with its rep at distance 0
+    val intra = sigs.join(groups, Seq("sig"))
+      .filter(F.col("id") =!= F.col("rep"))
+      .select(F.col("rep").as("id_a"), F.col("id").as("id_b"),
+        F.lit(0).as("hamming"))
+    val banded = groups.select(
+      F.col("rep"), F.col("sig"),
+      F.explode(F.array((0 until 4).map(b =>
+        F.struct(F.lit(b).as("band"),
+          F.shiftright(F.col("sig"), b * 16).bitwiseAND(F.lit(0xffffL)).as("bh"))): _*))
+        .as("b"))
+      .select(F.col("rep"), F.col("sig"), F.col("b.band"), F.col("b.bh"))
+    val l = banded.select(F.col("band"), F.col("bh"), F.col("rep").as("id_a"), F.col("sig").as("sig_a"))
+    val r = banded.select(F.col("band"), F.col("bh"), F.col("rep").as("id_b"), F.col("sig").as("sig_b"))
+    val inter = l.join(r, Seq("band", "bh"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamU(F.col("sig_a"), F.col("sig_b")))
+      .filter(F.col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+    intra.unionByName(inter)
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 n-gram:
+    * fully relational (explode → equi-join on gram → group) — the
+    * shape that survives scale because the join key is the gram, with
+    * a frequency cap to drop degenerate stop-grams.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxGramFreq: Int = 1000
+  ): DataFrame = {
+    val shU = F.udf((t: String) => shingles(t, n))
+    val grams = df
+      .select(F.col(idCol).as("id"), F.explode(shU(F.col(textCol))).as("g"))
+    val sizes = grams.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
+    val filtered = grams.join(
+      grams.groupBy("g").agg(F.count(F.lit(1)).as("gf")).filter(F.col("gf") <= maxGramFreq),
+      Seq("g"))
+    val pairs = filtered.select(F.col("g"), F.col("id").as("id_a"))
+      .join(filtered.select(F.col("g"), F.col("id").as("id_b")), Seq("g"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+      .filter(F.col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding cosine near-dup pairs via random-hyperplane LSH (bit
+    * signature → band equi-join → exact cosine verify).
+    */
+  def embeddingNearDups(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      simThreshold: Double = 0.95,
+      nBits: Int = 16,
+      nBands: Int = 4
+  ): DataFrame = {
+    import graft.knn.Similarity
+    val sigU = F.udf((v: Array[Float]) => Similarity.hyperplaneSig(v, nBits))
+    val bits = nBits / nBands
+    val banded = df
+      .select(F.col(idCol).as("id"), F.col(embCol).as("emb"))
+      .withColumn("sig", sigU(F.col("emb")))
+      .select(F.col("id"), F.col("emb"),
+        F.explode(F.array((0 until nBands).map(b =>
+          F.struct(F.lit(b).as("band"),
+            F.shiftright(F.col("sig"), b * bits)
+              .bitwiseAND(F.lit((1L << bits) - 1)).as("bh"))): _*)).as("b"))
+      .select(F.col("id"), F.col("emb"), F.col("b.band"), F.col("b.bh"))
+    val cosU = F.udf((a: Array[Float], b: Array[Float]) => Similarity.cosine(a, b))
+    val l = banded.select(F.col("band"), F.col("bh"), F.col("id").as("id_a"), F.col("emb").as("emb_a"))
+    val r = banded.select(F.col("band"), F.col("bh"), F.col("id").as("id_b"), F.col("emb").as("emb_b"))
+    l.join(r, Seq("band", "bh"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", cosU(F.col("emb_a"), F.col("emb_b")))
+      .filter(F.col("sim") >= simThreshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

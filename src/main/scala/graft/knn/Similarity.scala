@@ -1,0 +1,138 @@
+package graft.knn
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (SURVEY.md §2.10 J5 —
+  * rebuild of the reference's k-NN retrieve, data_manager.py:210-248:
+  * query embedding vs all stored embeddings, top-5 by distance,
+  * similarity-threshold 0.7 filter, data_manager.py:241-247).
+  *
+  * Brute-force cosine top-k is the baseline (TakeOrderedAndProject —
+  * no full sort, no extra shuffle); the random-hyperplane LSH variant
+  * is the scale path: candidates come from bucket equi-joins, exact
+  * cosine only on candidates.
+  */
+object Similarity extends Serializable {
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    if (a == null || b == null || a.length != b.length || a.length == 0) return 0.0
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Column-expression cosine between an array column and a literal
+    * query vector — built-ins only (zip_with + aggregate), codegen'd,
+    * and 1:1 expressible in DuckDB (`list_cosine_similarity`).
+    */
+  def cosineCol(emb: Column, query: Seq[Double]): Column = {
+    val q = F.typedlit(query)
+    val dot = F.aggregate(F.zip_with(emb, q, (x, y) => x * y),
+      F.lit(0.0), (acc, x) => acc + x)
+    val na = F.aggregate(F.transform(emb, x => x * x), F.lit(0.0), (acc, x) => acc + x)
+    val nb = F.lit(query.map(x => x * x).sum)
+    dot / F.sqrt(na * nb)
+  }
+
+  /** Brute-force top-k by cosine against one query vector; physical
+    * plan = map (score) + TakeOrderedAndProject(k).
+    */
+  def topK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: Seq[Double],
+      k: Int = 5,
+      minSim: Double = Double.NegativeInfinity
+  ): DataFrame =
+    df.select(F.col(idCol), cosineCol(F.col(embCol).cast("array<double>"), query).as("sim"))
+      .filter(F.col("sim") >= minSim)
+      .orderBy(F.col("sim").desc, F.col(idCol))
+      .limit(k)
+
+  /** Batched top-k: every row of `queries` gets its k nearest corpus
+    * rows. Broadcast the (small) query side; per-query top-k via
+    * window rank over the scored cross — one shuffle on query_id.
+    */
+  def topKBatch(
+      corpus: DataFrame, corpusId: String, corpusEmb: String,
+      queries: DataFrame, queryId: String, queryEmb: String,
+      k: Int = 5
+  ): DataFrame = {
+    val cosU = F.udf((a: Array[Float], b: Array[Float]) => cosine(a, b))
+    val scored = corpus
+      .select(F.col(corpusId).as("cid"), F.col(corpusEmb).as("cemb"))
+      .crossJoin(F.broadcast(
+        queries.select(F.col(queryId).as("qid"), F.col(queryEmb).as("qemb"))))
+      .withColumn("sim", cosU(F.col("cemb"), F.col("qemb")))
+    val w = Window.partitionBy("qid").orderBy(F.col("sim").desc, F.col("cid"))
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("qid", "cid", "sim", "rank")
+  }
+
+  /** Deterministic random hyperplane for LSH bit b (seeded hash — no
+    * RNG state, identical on every executor).
+    */
+  @inline private def planeComponent(bit: Int, dim: Int): Double = {
+    var x = (bit.toLong << 32 | dim.toLong) + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^= (x >>> 31)
+    // map to [-1, 1)
+    (x >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  /** nBits-bit random-hyperplane signature of a vector. */
+  def hyperplaneSig(v: Array[Float], nBits: Int): Long = {
+    if (v == null) return 0L
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) { dot += v(d) * planeComponent(b, d); d += 1 }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** LSH-bucketed approximate top-k for one query: prune to rows whose
+    * signature shares a band with the query's, then exact cosine top-k
+    * on the candidates. At scale the signature is a precomputed table
+    * column, so the probe is a partition-prunable equi-filter.
+    */
+  def topKLsh(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: Array[Float],
+      k: Int = 5,
+      nBits: Int = 16,
+      nBands: Int = 4
+  ): DataFrame = {
+    val bits = nBits / nBands
+    val qSig = hyperplaneSig(query, nBits)
+    val qBands = (0 until nBands)
+      .map(b => (b, (qSig >>> (b * bits)) & ((1L << bits) - 1)))
+    val sigU = F.udf((v: Array[Float]) => hyperplaneSig(v, nBits))
+    val matchesBand = qBands
+      .map { case (b, bh) =>
+        F.shiftright(F.col("__sig"), b * bits)
+          .bitwiseAND(F.lit((1L << bits) - 1)) === F.lit(bh)
+      }
+      .reduce(_ || _)
+    val cosU = F.udf((a: Array[Float]) => cosine(a, query))
+    df.withColumn("__sig", sigU(F.col(embCol)))
+      .filter(matchesBand)
+      .select(F.col(idCol), cosU(F.col(embCol)).as("sim"))
+      .orderBy(F.col("sim").desc, F.col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in per-partition BATCHES
+  * (the JVM analog of `mapInPandas` — one decoder init per partition,
+  * vectorized-ish inner loop, bounded batch memory).
+  *
+  * The decode step itself is STUBBED (no image/audio libraries ship in
+  * this container): `FakeCodec` produces deterministic features from
+  * the bytes so the Spark-side contract — schema, batch shape,
+  * partition-level resource lifecycle, null handling — is real and
+  * tested end-to-end, and a real codec drops in behind the same
+  * function signature.
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      media_id: Long,
+      kind: String, // image | audio | video
+      media: Array[Byte],
+      mime: String,
+      meta: Map[String, String]
+  )
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      byte_len: Int,
+      content_hash: Long,
+      width: Int,       // images/video: decoded dims (stub: derived)
+      height: Int,
+      duration_ms: Long, // audio/video (stub: derived)
+      feature: Array[Float] // fixed-dim feature vector (stub: hashed bytes)
+  )
+
+  /** STUB CODEC — deterministic fake decode. A real implementation
+    * replaces only this object (same signatures).
+    */
+  object FakeCodec extends Serializable {
+    val featureDim = 16
+
+    @inline private def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+
+    def hashBytes(b: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < b.length) { h = (h ^ b(i)) * 0x100000001b3L; i += 1 }
+      h
+    }
+
+    /** Deterministic "decode": dims/duration/features derived from the
+      * content hash — byte-stable, null-safe.
+      */
+    def decode(row: MediaRow): MediaFeatures = {
+      val bytes = if (row.media == null) Array.emptyByteArray else row.media
+      val h = hashBytes(bytes)
+      val w = 64 + (mix(h) & 0x3ff).toInt       // 64..1087
+      val ht = 64 + (mix(h + 1) & 0x3ff).toInt
+      val dur = if (row.kind == "image") 0L else 1000L + (mix(h + 2) & 0xffff)
+      val feat = Array.tabulate(featureDim) { d =>
+        ((mix(h + 3 + d) & 0xffff).toFloat / 0xffff.toFloat) * 2f - 1f
+      }
+      MediaFeatures(row.media_id, row.kind, bytes.length, h, w, ht, dur, feat)
+    }
+
+    /** Deterministic frame sampling positions for video (stub). */
+    def sampleFrameOffsets(durationMs: Long, everyMs: Long): Seq[Long] =
+      if (durationMs <= 0 || everyMs <= 0) Nil
+      else 0L.until(durationMs, everyMs)
+  }
+
+  /** Batched decode/feature-extract over partitions: resources (a real
+    * codec handle) init once per partition; rows stream through in
+    * `batchSize` groups so peak memory is bounded by batch × row size,
+    * not partition size.
+    */
+  def extractFeatures(
+      spark: SparkSession,
+      media: Dataset[MediaRow],
+      batchSize: Int = 64
+  ): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // [real codec: open native handle here, close via final batch]
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map(FakeCodec.decode)
+      }
+    }
+  }
+
+  /** Frame-sample video rows into (media_id, frame_offset_ms) — the
+    * explode-shaped operator a video pipeline needs; offsets are
+    * deterministic from the (stub) decoded duration.
+    */
+  def sampleFrames(features: DataFrame, everyMs: Long = 1000L): DataFrame =
+    features
+      .filter(F.col("kind") === "video")
+      .select(F.col("media_id"),
+        F.explode(F.sequence(F.lit(0L),
+          F.greatest(F.col("duration_ms") - 1, F.lit(0L)), F.lit(everyMs)))
+          .as("frame_offset_ms"))
+
+  /** Deterministic synthetic media table for tests (no binary assets
+    * ship in-repo).
+    */
+  def synthMedia(spark: SparkSession, n: Int, seed: Long = 11L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val r = new java.util.SplittableRandom(seed + i)
+      val kinds = Array("image", "audio", "video")
+      val kind = kinds(r.nextInt(3))
+      val bytes = new Array[Byte](32 + r.nextInt(256))
+      r.nextBytes(bytes) // SplittableRandom#nextBytes is deterministic per seed
+      MediaRow(i, kind, bytes, s"application/x-fake-$kind", Map("src" -> s"synth-$i"))
+    }
+  }
+}

@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession, functions => F}
+
+import graft.langid.{LangId, LangIdModel}
+import graft.lm.NGramLM
+import graft.model.Turn
+import graft.rules.{GrammarRules, QualityRules}
+import graft.scrub.Scrubber
+import graft.synth.Transcripts
+
+/** The curation DAG (SURVEY.md §3 "Spark rebuild of this lifecycle"):
+  *
+  *   transcripts → langid → cheap quality rules → (gated) grammar rules
+  *   → (gated) perplexity → keep/drop decision → scrub → curated
+  *
+  * One lazily-built DataFrame plan, map-only (NO shuffle on the hot
+  * path — the per-turn pipeline is embarrassingly parallel; the only
+  * shuffles in the whole flow are the tiny metrics aggregations).
+  *
+  * Expensive-operator gating is STRUCTURAL, mirroring the reference's
+  * "only error chunks reach the LLM" short-circuit
+  * (smart_corrector.py:114-128, SURVEY.md §4): grammar-rule extraction
+  * and perplexity scoring are wrapped in `when(<cheap rules passed>)`
+  * so rows already dropped by a cheap column-expression rule never pay
+  * for a UDF call.
+  *
+  * Model state (langid weights, n-gram table) is broadcast explicitly
+  * (SURVEY.md §4.2) — one compact block per executor, not per task.
+  */
+object Curate {
+
+  /** Broadcast-able model bundle; trained deterministically from the
+    * seeded synth corpus (SURVEY.md §7.4: no external data).
+    */
+  final case class Models(langId: LangIdModel, lm: NGramLM) extends Serializable
+
+  /** One deterministic default bundle per JVM. */
+  lazy val defaultModels: Models = {
+    val corpus = Transcripts.trainingCorpus()
+    Models(LangId.train(corpus), NGramLM.train(corpus.map(_._1)))
+  }
+
+  val dropWhenPplMissing: Double = Double.NaN
+
+  /** Add lang/lang_conf/ppl/rule_hits/keep/drop_reason/scrubbed_text/
+    * scrub_hits columns to a transcripts DataFrame. Pure projection —
+    * preserves partitioning; schema = [[graft.model.CuratedTurn]].
+    */
+  def curateDf(
+      spark: SparkSession,
+      turns: DataFrame,
+      cfg: QualityRules.Config = QualityRules.defaultConfig,
+      models: Models = defaultModels
+  ): DataFrame = {
+    val bModels: Broadcast[Models] = spark.sparkContext.broadcast(models)
+
+    val langU = F.udf((t: String) => bModels.value.langId.predict(t))
+    val pplU = F.udf((t: String) => bModels.value.lm.perplexity(t))
+    val hitsU = F.udf((t: String) => GrammarRules.ruleHits(t).map(_.rule_id))
+    val cykU = F.udf((t: String) => GrammarRules.cykInvalidCount(t, cfg.cykMaxWords))
+    val scrubU = Scrubber.scrubUdf
+
+    val text = F.col("text")
+    val wc = QualityRules.wordCountCol(text)
+
+    // cheap scalar rules — pure codegen'd column expressions, evaluated
+    // in the fixed QualityRules.ruleOrder (drop_reason = FIRST failure)
+    val cheapDrop: Column =
+      F.when(text.isNull || F.length(F.trim(text)) === 0, "empty")
+        .when(wc < cfg.minWords, "too_short")
+        .when(wc > cfg.maxWords || F.length(text) > cfg.maxChars, "too_long")
+        .when(wc >= cfg.repMinWords &&
+          QualityRules.distinctRatioCol(text) < cfg.minDistinctRatio, "repetition")
+        .when(QualityRules.symbolRatioCol(text) > cfg.maxSymbolRatio, "symbol_ratio")
+        .when(QualityRules.boilerplateCol(text), "boilerplate")
+
+    val withLang = turns
+      .withColumn("__lang", langU(text))
+      .withColumn("lang", F.col("__lang._1"))
+      .withColumn("lang_conf", F.col("__lang._2"))
+      .withColumn("__cheap", cheapDrop)
+
+    // gated grammar hits (empty for already-dropped rows)
+    val withHits = withLang.withColumn(
+      "rule_hits",
+      F.when(F.col("__cheap").isNotNull, F.typedlit(Seq.empty[String]))
+        .otherwise(hitsU(text)))
+
+    val afterGrammar = F.coalesce(
+      F.col("__cheap"),
+      F.when(F.size(F.col("rule_hits")) >= cfg.maxRuleHits, "grammar"))
+
+    val afterCyk =
+      if (cfg.cykEnabled)
+        F.coalesce(afterGrammar,
+          F.when(cykU(text) >= cfg.cykMaxInvalid, "cyk"))
+      else afterGrammar
+
+    val langOk = F.col("lang").isInCollection(cfg.allowedLangs) &&
+      F.col("lang_conf") >= cfg.minLangConf
+    val afterLang = F.coalesce(afterCyk, F.when(!langOk, "lang"))
+
+    val withPpl = withHits
+      .withColumn("__pre_ppl", afterLang)
+      .withColumn(
+        "ppl",
+        if (cfg.pplEnabled)
+          F.when(F.col("__pre_ppl").isNotNull, F.lit(dropWhenPplMissing))
+            .otherwise(pplU(text))
+        else F.lit(dropWhenPplMissing))
+
+    val dropReason =
+      if (cfg.pplEnabled)
+        F.coalesce(F.col("__pre_ppl"), F.when(F.col("ppl") > cfg.maxPpl, "ppl"))
+      else F.col("__pre_ppl")
+
+    withPpl
+      .withColumn("drop_reason", dropReason)
+      .withColumn("keep", F.col("drop_reason").isNull)
+      .withColumn("__scrub", scrubU(text))
+      .withColumn("scrubbed_text", F.col("__scrub.scrubbed"))
+      .withColumn("scrub_hits", F.col("__scrub.hits"))
+      .select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "lang", "lang_conf", "ppl", "rule_hits", "keep", "drop_reason",
+        "scrubbed_text", "scrub_hits")
+  }
+
+  def curate(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      cfg: QualityRules.Config = QualityRules.defaultConfig,
+      models: Models = defaultModels
+  ): Dataset[graft.model.CuratedTurn] = {
+    import spark.implicits._
+    curateDf(spark, turns.toDF(), cfg, models).as[graft.model.CuratedTurn]
+  }
+
+  /** Per-run metrics — rebuild of the reference's summary aggregates
+    * (smart_corrector.py:229-260, SURVEY.md §2.9 A2). Two tiny
+    * shuffles over already-reduced data (map-side partial aggregation
+    * is automatic for hash aggregates).
+    */
+  def metrics(curated: DataFrame, partId: Int = 0): DataFrame = {
+    val byRule = curated
+      .filter(F.col("drop_reason").isNotNull)
+      .groupBy("drop_reason").count()
+      .agg(F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct(F.col("drop_reason"), F.col("count")))))
+        .as("dropped_by_rule"))
+    val scrubCounts = curated
+      .select(F.explode_outer(F.col("scrub_hits")).as(Seq("k", "v")))
+      .filter(F.col("k").isNotNull)
+      .groupBy("k").agg(F.sum("v").cast("long").as("n"))
+      .agg(F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct(F.col("k"), F.col("n")))))
+        .as("scrub_hit_counts"))
+    val base = curated.agg(
+      F.count(F.lit(1)).as("turns_seen"),
+      F.sum(F.when(F.col("keep"), 1L).otherwise(0L)).as("turns_kept"),
+      F.sum(F.when(F.col("keep"), 0L).otherwise(1L)).as("turns_dropped"))
+    base
+      .crossJoin(byRule)
+      .crossJoin(scrubCounts)
+      .withColumn("part_id", F.lit(partId))
+      .select("part_id", "turns_seen", "turns_kept", "turns_dropped",
+        "dropped_by_rule", "scrub_hit_counts")
+  }
+
+  /** Skew-safe repartition for the WRITE path (SURVEY.md §4.1): spread
+    * a hot conv_id over `salt` buckets while keeping (conv_id,
+    * turn_idx) runs sorted within each output file — per-turn outputs
+    * stay byte-identical run-to-run.
+    */
+  def saltedForWrite(df: DataFrame, numPartitions: Int, salt: Int = 16): DataFrame =
+    df.repartition(numPartitions, F.col("conv_id"),
+        F.pmod(F.hash(F.col("turn_idx")), F.lit(salt)))
+      .sortWithinPartitions("conv_id", "turn_idx")
+}

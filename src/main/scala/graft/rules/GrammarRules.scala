@@ -1,0 +1,166 @@
+package graft.rules
+
+import java.util.regex.Pattern
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.grammar.Cyk
+
+/** Grammar-error detection — rebuild of the reference's
+  * `CFGGrammarChecker` (cfg_checker.py): the hardcoded basic rules
+  * (G1, cfg_checker.py:136-210), the rule-bank sweep (G2,
+  * cfg_checker.py:212-242 over the 3 basic `GrammarRule`s at
+  * cfg_checker.py:77-114), the POS-bigram rule (G3,
+  * cfg_checker.py:244-281, lexicon+suffix tagger instead of NLTK), and
+  * the overlap-dedup that keeps max confidence (G5,
+  * cfg_checker.py:317-343).
+  *
+  * All patterns compiled ONCE per JVM (the reference recompiles per
+  * call, cfg_checker.py:222 — SURVEY.md §4 "regex precompilation").
+  *
+  * Flag faithfulness: the basic subject-verb and common-mistake
+  * patterns run IGNORECASE (cfg_checker.py:149,195), the article
+  * patterns run case-SENSITIVE (cfg_checker.py:171 — they rely on
+  * `[A-Z]`), and the bank rules run IGNORECASE (cfg_checker.py:222).
+  */
+object GrammarRules extends Serializable {
+
+  final case class RuleHit(
+      rule_id: String,
+      rule_name: String,
+      start: Int,
+      end: Int,
+      snippet: String,
+      confidence: Double
+  )
+
+  private final case class Spec(
+      ruleId: String,
+      ruleName: String,
+      pattern: Pattern,
+      confidence: Double
+  )
+
+  private def ci(p: String) = Pattern.compile(p, Pattern.CASE_INSENSITIVE)
+  private def cs(p: String) = Pattern.compile(p)
+
+  /** Evaluation order = reference check_text order (cfg_checker.py:283-308):
+    * basic subj-verb → articles → common mistakes → bank rules.
+    */
+  private val specs: Array[Spec] = Array(
+    // Rule 1: subject-verb disagreement (cfg_checker.py:141-146, conf 0.8)
+    Spec("BASIC_SUBJ_VERB", "Basic Subject-Verb Agreement", ci("\\b(he|she|it)\\s+are\\b"), 0.8),
+    Spec("BASIC_SUBJ_VERB", "Basic Subject-Verb Agreement", ci("\\b(they|we|you)\\s+is\\b"), 0.8),
+    Spec("BASIC_SUBJ_VERB", "Basic Subject-Verb Agreement", ci("\\b(I)\\s+are\\b"), 0.8),
+    Spec("BASIC_SUBJ_VERB", "Basic Subject-Verb Agreement", ci("\\b(was)\\s+(they|we|you)\\b"), 0.8),
+    // Rule 2: missing articles (cfg_checker.py:165-168, conf 0.6, case-sensitive)
+    Spec("BASIC_ARTICLES", "Basic Article Usage", cs("\\b(is|was)\\s+([A-Z][a-z]+)\\b"), 0.6),
+    Spec("BASIC_ARTICLES", "Basic Article Usage", cs("\\bwent\\s+to\\s+([a-z]+)\\b"), 0.6),
+    // Rule 3: common mistakes (cfg_checker.py:187-192, conf 0.7)
+    Spec("BASIC_COMMON", "Common Grammar Mistakes", ci("\\bthere\\s+is\\s+many\\b"), 0.7),
+    Spec("BASIC_COMMON", "Common Grammar Mistakes", ci("\\bincludes\\b(?=\\s+[a-z])"), 0.7),
+    Spec("BASIC_COMMON", "Common Grammar Mistakes", ci("\\bfocus\\s+on\\b"), 0.7),
+    Spec("BASIC_COMMON", "Common Grammar Mistakes", ci("\\bmachine\\s+to\\s+understand\\b"), 0.7),
+    // Bank rules (cfg_checker.py:81-111 via :212-242, IGNORECASE)
+    Spec("BASIC_001", "subject_verb_disagreement", ci("\\b(he|she|it)\\s+are\\b"), 0.9),
+    Spec("BASIC_002", "double_negative",
+      ci("\\b(don't|doesn't|didn't|won't|can't|couldn't|shouldn't|wouldn't)\\s+\\w*n't\\b"), 0.8),
+    Spec("BASIC_003", "incomplete_sentence", ci("^\\s*[A-Z][^.!?]*[a-z]\\s*$"), 0.7)
+  )
+
+  private val tokenP = Pattern.compile("\\b\\w+\\b")
+  private val sentEndP = Pattern.compile("[.!?]")
+
+  /** POS-bigram rule (cfg_checker.py:256-277): noun followed by "are",
+    * conf 0.75. Tagger = lexicon lookup + suffix fallback
+    * (cfg_generator.py:407-421 — the de-facto semantics, since the
+    * reference's LLM tagger path always throws, SURVEY.md §7.4).
+    * Sentence boundary approximated as "no [.!?] between the tokens".
+    */
+  private def posHits(text: String, out: ArrayBuffer[RuleHit]): Unit = {
+    val m = tokenP.matcher(text)
+    var prevWord: String = null
+    var prevStart = -1
+    var prevEnd = -1
+    while (m.find()) {
+      val w = m.group()
+      if (prevWord != null && w.equalsIgnoreCase("are")) {
+        val between = text.substring(prevEnd, m.start())
+        if (!sentEndP.matcher(between).find()) {
+          val lower = prevWord.toLowerCase
+          val tags = Cyk.lexicon.getOrElse(lower, Set(Cyk.guessPosFallback(lower)))
+          if (tags.contains("N") && !tags.contains("AUX") && !tags.contains("PRP") &&
+              !tags.contains("DET")) {
+            out += RuleHit("POS_SUBJ_VERB", "POS Subject-Verb Agreement",
+              prevStart, m.end(), s"$prevWord $w", 0.75)
+          }
+        }
+      }
+      prevWord = w; prevStart = m.start(); prevEnd = m.end()
+    }
+  }
+
+  /** All rule hits on a text, deduped (overlap → keep max confidence,
+    * port of cfg_checker.py:317-343) and sorted by start position
+    * (cfg_checker.py:312). Null-safe.
+    */
+  def ruleHits(text: String): Seq[RuleHit] = {
+    if (text == null || text.isEmpty) return Nil
+    val all = new ArrayBuffer[RuleHit](8)
+    var i = 0
+    while (i < specs.length) {
+      val s = specs(i)
+      val m = s.pattern.matcher(text)
+      while (m.find()) {
+        all += RuleHit(s.ruleId, s.ruleName, m.start(), m.end(), m.group(), s.confidence)
+      }
+      i += 1
+    }
+    posHits(text, all)
+    dedup(all)
+  }
+
+  /** Port of _deduplicate_errors (cfg_checker.py:317-343): stable sort
+    * by start; for each error, scan kept list in ITS CURRENT ORDER for
+    * the first overlap; replace if strictly higher confidence (remove +
+    * append, preserving the reference's list mutation order).
+    */
+  private def dedup(errors: ArrayBuffer[RuleHit]): Seq[RuleHit] = {
+    if (errors.isEmpty) return Nil
+    val sorted = errors.sortBy(_.start) // stable
+    val unique = new ArrayBuffer[RuleHit](sorted.length)
+    sorted.foreach { e =>
+      var isDup = false
+      var j = 0
+      while (!isDup && j < unique.length) {
+        val ex = unique(j)
+        if (e.start < ex.end && e.end > ex.start) {
+          if (e.confidence > ex.confidence) {
+            unique.remove(j)
+            unique += e
+          }
+          isDup = true
+        }
+        j += 1
+      }
+      if (!isDup) unique += e
+    }
+    unique.sortBy(_.start).toSeq
+  }
+
+  /** CYK structural check over a turn's sentences (G6/G7,
+    * cfg_checker.py:345-376): returns per-sentence validity; capped at
+    * `maxWords` per sentence (O(n³) guard, SURVEY.md §7.4 — reference
+    * analog `max_sentence_length`, config.yaml:17). Over-cap sentences
+    * are treated as valid (not parseable ≠ invalid).
+    */
+  def cykInvalidCount(text: String, maxWords: Int = 12): Int = {
+    if (text == null || text.isEmpty) return 0
+    var invalid = 0
+    Cyk.splitSentences(text).foreach { s =>
+      val n = s.split("\\s+").count(_.nonEmpty)
+      if (n <= maxWords && !Cyk.parseSentence(s).valid) invalid += 1
+    }
+    invalid
+  }
+}

@@ -1,0 +1,117 @@
+package graft.scrub
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, functions => F}
+
+/** PII / toxicity scrubber (SURVEY.md §2.7 R1).
+  *
+  * Rebuild of the reference's `_clean_text` scrub steps
+  * (web_scraper.py:67-103): whitespace normalize → URL removal
+  * (web_scraper.py:90) → email removal (web_scraper.py:93) → punctuation
+  * collapse (web_scraper.py:96-98) → final whitespace normalize; extended
+  * per the north_star with phone numbers, API keys and a denylisted-token
+  * bank ("slurs" — shipped bank uses synthetic placeholder expletives,
+  * injectable for production denylists).
+  *
+  * Determinism spec (the "byte-identical scrubbed text" contract,
+  * SURVEY.md §7.4): patterns are applied in the FIXED order of
+  * `patterns` below, each replacing ALL matches with "" left-to-right
+  * (Java `Matcher.replaceAll` = Python `re.sub` semantics for these
+  * patterns), hit counts taken on the text as it stands when that
+  * pattern runs. The whole scrub is idempotent (property-tested).
+  *
+  * All patterns are compiled once per JVM (object init) and shipped to
+  * executors via closure — the reference recompiles per call
+  * (cfg_checker.py:222); we do not.
+  */
+object Scrubber extends Serializable {
+
+  /** Default denylist: intentionally-fake sci-fi expletives standing in
+    * for a real toxicity denylist (do NOT ship real slurs in source).
+    */
+  val defaultDenylist: Seq[String] =
+    Seq("frak", "frakking", "smeghead", "gorram", "shazbot", "felgercarb")
+
+  val URL_RE   = "https?://\\S+"                                // web_scraper.py:90
+  val EMAIL_RE = "\\S+@\\S+\\.\\S+"                             // web_scraper.py:93
+  val PHONE_RE = "\\+?\\d{1,3}[-. ]?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}"
+  val KEY_RE   = "\\b(?:sk|pk|api|key|ghp|xoxb|xoxp)[-_][A-Za-z0-9_-]{16,}\\b"
+  def slurRe(denylist: Seq[String]): String =
+    denylist.mkString("(?i)\\b(?:", "|", ")\\b")
+
+  /** Ordered scrub bank: (name, java pattern). Order IS the spec. */
+  val patternSpecs: Seq[(String, String)] = Seq(
+    "url"   -> URL_RE,
+    "email" -> EMAIL_RE,
+    "phone" -> PHONE_RE,
+    "key"   -> KEY_RE,
+    "slur"  -> slurRe(defaultDenylist)
+  )
+
+  private val compiled: Array[(String, Pattern)] =
+    patternSpecs.map { case (n, p) => (n, Pattern.compile(p)) }.toArray
+
+  private val wsP     = Pattern.compile("\\s+")
+  private val dots3P  = Pattern.compile("[.]{3,}") // web_scraper.py:96
+  private val bangsP  = Pattern.compile("[!]{2,}") // web_scraper.py:97
+  private val qmarksP = Pattern.compile("[?]{2,}") // web_scraper.py:98
+
+  final case class ScrubResult(scrubbed: String, hits: Map[String, Int])
+
+  /** Pure per-row scrub. Null-safe (null → empty result). */
+  def scrub(text: String): ScrubResult = {
+    if (text == null || text.isEmpty) return ScrubResult("", Map.empty)
+    // whitespace normalize first (web_scraper.py:73-74)
+    var t = wsP.matcher(text).replaceAll(" ").trim
+    val hits = Map.newBuilder[String, Int]
+    var i = 0
+    while (i < compiled.length) {
+      val (name, p) = compiled(i)
+      val m = p.matcher(t)
+      var n = 0
+      while (m.find()) n += 1
+      if (n > 0) {
+        hits += name -> n
+        t = p.matcher(t).replaceAll("")
+      }
+      i += 1
+    }
+    // punctuation collapse (web_scraper.py:96-98)
+    t = dots3P.matcher(t).replaceAll("...")
+    t = bangsP.matcher(t).replaceAll("!")
+    t = qmarksP.matcher(t).replaceAll("?")
+    // final cleanup (web_scraper.py:101)
+    t = wsP.matcher(t).replaceAll(" ").trim
+    ScrubResult(t, hits.result())
+  }
+
+  /** Spark UDF: text → struct<scrubbed string, hits map<string,int>>. */
+  val scrubUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    F.udf((text: String) => scrub(text))
+
+  /** Column-only scrub of the REFERENCE subset (url+email+punct+ws) —
+    * pure `regexp_replace` chain, codegen'd end to end and expressible
+    * 1:1 in DuckDB SQL for the driver oracle. No hits map.
+    */
+  def scrubColReference(c: Column): Column = {
+    var t = F.trim(F.regexp_replace(c, "\\s+", " "))
+    t = F.regexp_replace(t, URL_RE, "")
+    t = F.regexp_replace(t, EMAIL_RE, "")
+    t = F.regexp_replace(t, "[.]{3,}", "...")
+    t = F.regexp_replace(t, "[!]{2,}", "!")
+    t = F.regexp_replace(t, "[?]{2,}", "?")
+    F.trim(F.regexp_replace(t, "\\s+", " "))
+  }
+
+  /** The same reference-subset scrub as ANSI SQL over a column name, for
+    * DuckDB (regexp_replace needs the 'g' flag there; Spark replaces all
+    * matches by default).
+    */
+  def scrubSqlReference(col: String): String =
+    s"trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"regexp_replace(regexp_replace(trim(regexp_replace($col, '\\s+', ' ', 'g'))," +
+      s" 'https?://\\S+', '', 'g'), '\\S+@\\S+\\.\\S+', '', 'g')," +
+      s" '[.]{3,}', '...', 'g'), '[!]{2,}', '!', 'g'), '[?]{2,}', '?', 'g')," +
+      s" '\\s+', ' ', 'g'))"
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.knn.Similarity
+
+class DedupSimilaritySpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"), // near-dup of 1
+      (3L, "completely different content about spark catalyst optimizer internals and codegen"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (5L, "spark catalyst optimizer performs predicate pushdown and column pruning always")
+    ).toDF("id", "text")
+  }
+
+  test("exact dedup keeps deterministic first row per hash (P9)") {
+    val out = Dedup.exactDedup(docs, "text", "id").select("id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L, 5L)) // 4 dropped (dup of 1, higher id)
+  }
+
+  test("minhash LSH finds planted near-dups and exact dups, not unrelated pairs") {
+    val pairs = Dedup.minhashNearDups(docs, "id", "text", threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 3L) })
+  }
+
+  test("minhash clusters: every dup points to min id representative") {
+    val reps = Dedup.minhashClusters(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(4L) == 1L)
+    assert(reps(2L) == 1L)
+    assert(reps(1L) == 1L)
+    assert(reps(3L) == 3L || reps(3L) == 3L)
+  }
+
+  test("jaccard: exact on sorted shingle arrays") {
+    val a = Dedup.shingles("a b c d e", 2)
+    val b = Dedup.shingles("a b c d x", 2)
+    // shingles: {ab,bc,cd,de} vs {ab,bc,cd,dx} → 3/5
+    assert(math.abs(Dedup.jaccard(a, b) - 0.6) < 1e-9)
+    assert(Dedup.jaccard(a, a) == 1.0)
+  }
+
+  test("simhash: identical text → distance 0; near text small; different text large") {
+    val h1 = Dedup.simhash("the quick brown fox jumps over the lazy dog")
+    val h2 = Dedup.simhash("the quick brown fox jumps over the lazy cat")
+    val h3 = Dedup.simhash("catalyst codegen whole stage pipelines tungsten memory format")
+    assert(java.lang.Long.bitCount(h1 ^ h1) == 0)
+    assert(java.lang.Long.bitCount(h1 ^ h2) < java.lang.Long.bitCount(h1 ^ h3))
+  }
+
+  test("simhash near-dups via 4-band pigeonhole") {
+    val out = Dedup.simhashNearDups(docs, "id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 4L))) // exact dup always hamming 0
+  }
+
+  test("ngram jaccard pairs relational path matches scala jaccard") {
+    val out = Dedup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val expected = Dedup.jaccard(Dedup.shingles(
+      "the quick brown fox jumps over the lazy dog near the river bank today", 3),
+      Dedup.shingles("the quick brown fox jumps over the lazy dog near the river bank now", 3))
+    assert(out.contains((1L, 4L)) && math.abs(out((1L, 4L)) - 1.0) < 1e-9)
+    assert(math.abs(out((1L, 2L)) - expected) < 1e-9)
+  }
+
+  test("cosineCol column expression == scala cosine") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-1.0f, 0.5f, 0.0f)))
+      .toDF("id", "emb")
+    val q = Seq(0.5, -1.0, 2.0)
+    val got = vecs.select($"id",
+        Similarity.cosineCol($"emb".cast("array<double>"), q).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-1.0f, 0.5f, 0.0f))).foreach {
+      case (id, v) =>
+        val exp = Similarity.cosine(v, q.map(_.toFloat).toArray)
+        assert(math.abs(got(id) - exp) < 1e-9)
+    }
+  }
+
+  test("brute-force topK and LSH topK agree on the obvious nearest neighbor") {
+    import spark.implicits._
+    val base = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(8)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((0L, base), (1L, near), (2L, far)).toDF("id", "emb")
+    val brute = Similarity.topK(df, "id", "emb", base.map(_.toDouble).toSeq, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(brute == Seq(0L, 1L))
+    val lsh = Similarity.topKLsh(df, "id", "emb", base, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(lsh.headOption.contains(0L))
+    assert(lsh.contains(1L)) // near vector shares buckets with base
+  }
+
+  test("topKBatch ranks per query with deterministic tie-break") {
+    import spark.implicits._
+    val vs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)))
+      .toDF("id", "emb")
+    val out = Similarity.topKBatch(vs, "id", "emb", vs.filter($"id" === 0), "id", "emb", k = 2)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"), r.getAs[Int]("rank")))
+    assert(out.toSeq.sortBy(_._3) == Seq((0L, 0L, 1), (0L, 1L, 2)))
+  }
+}

@@ -1,0 +1,177 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Turn
+import graft.pipeline.Curate
+import graft.rules.{GrammarRules, QualityRules}
+import graft.synth.Transcripts
+
+/** Independent plain-Scala (non-Spark) oracle implementing the SAME
+  * published rule definitions as the engine (FIXTURES.md F2): the
+  * scrub chain and scalar rules are REIMPLEMENTED here from the spec
+  * (not calls into the production column/UDF path), so the golden
+  * comparison catches Spark integration bugs — wiring, gating,
+  * column-expression vs Scala semantic drift. Shared components: the
+  * trained langid/LM models and the grammar-rule bank (these ARE the
+  * model — a second training would define a different spec).
+  */
+object GoldenOracle {
+  private val cfg = QualityRules.defaultConfig
+  private val models = Curate.defaultModels
+
+  // scrub spec, reimplemented: ws → url → email → phone → key → slur
+  // → punct collapse → ws (Scrubber.scala order; seeds web_scraper.py:67-103)
+  private val ordered = Seq(
+    "url" -> "https?://\\S+",
+    "email" -> "\\S+@\\S+\\.\\S+",
+    "phone" -> "\\+?\\d{1,3}[-. ]?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}",
+    "key" -> "\\b(?:sk|pk|api|key|ghp|xoxb|xoxp)[-_][A-Za-z0-9_-]{16,}\\b",
+    "slur" -> ("(?i)\\b(?:" + graft.scrub.Scrubber.defaultDenylist.mkString("|") + ")\\b"))
+
+  def scrub(text0: String): (String, Map[String, Int]) = {
+    var t = text0.replaceAll("\\s+", " ").trim
+    var hits = Map.empty[String, Int]
+    ordered.foreach { case (name, re) =>
+      val n = re.r.findAllMatchIn(t).size
+      if (n > 0) { hits += name -> n; t = t.replaceAll(re, "") }
+    }
+    t = t.replaceAll("[.]{3,}", "...").replaceAll("[!]{2,}", "!")
+      .replaceAll("[?]{2,}", "?")
+    (t.replaceAll("\\s+", " ").trim, hits)
+  }
+
+  final case class Expected(lang: String, keep: Boolean, dropReason: String,
+      scrubbed: String, scrubHits: Map[String, Int])
+
+  def expected(text: String): Expected = {
+    val lang = models.langId.predict(text)
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    val wc = words.length
+    val symbols = text.count(c =>
+      !Character.isLetterOrDigit(c) && !Character.isWhitespace(c))
+    val boiler = ("(?i)(Cookie\\s+Policy|Privacy\\s+Policy|Terms\\s+of\\s+Service|" +
+      "Subscribe\\s+to.*newsletter|Follow\\s+us\\s+on|Share\\s+this)").r
+      .findFirstIn(text).isDefined
+
+    val reason: String =
+      if (text == null || text.trim.isEmpty) "empty"
+      else if (wc < cfg.minWords) "too_short"
+      else if (wc > cfg.maxWords || text.length > cfg.maxChars) "too_long"
+      else if (wc >= cfg.repMinWords &&
+        words.map(_.toLowerCase).distinct.length.toDouble / wc < cfg.minDistinctRatio)
+        "repetition"
+      else if (symbols.toDouble / text.length > cfg.maxSymbolRatio) "symbol_ratio"
+      else if (boiler) "boilerplate"
+      else if (GrammarRules.ruleHits(text).size >= cfg.maxRuleHits) "grammar"
+      else if (!cfg.allowedLangs.contains(lang._1) || lang._2 < cfg.minLangConf) "lang"
+      else if (models.lm.perplexity(text) > cfg.maxPpl) "ppl"
+      else null
+
+    val (scrubbed, hits) = scrub(text)
+    Expected(lang._1, reason == null, reason, scrubbed, hits)
+  }
+}
+
+class GoldenPipelineSpec extends SparkTestBase {
+
+  val nConvs = 120L
+
+  lazy val engineRows: Map[(String, Int), org.apache.spark.sql.Row] = {
+    val ds = Transcripts.dataset(spark, nConvs)
+    Curate.curateDf(spark, ds.toDF()).collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx")) -> r)
+      .toMap
+  }
+
+  lazy val inputTurns: Seq[Turn] =
+    (0L until nConvs).flatMap(c => Transcripts.conversation(42L, c).map(_._1))
+
+  test("golden keep/drop: engine == independent oracle per turn (F1 target ≥ 0.99; exact match asserted)") {
+    var agree = 0
+    var total = 0
+    inputTurns.foreach { t =>
+      val exp = GoldenOracle.expected(t.text)
+      val got = engineRows((t.conv_id, t.turn_idx))
+      total += 1
+      val gotKeep = got.getAs[Boolean]("keep")
+      val gotReason = got.getAs[String]("drop_reason")
+      assert(gotKeep == exp.keep && gotReason == exp.dropReason,
+        s"turn ${t.conv_id}/${t.turn_idx}: engine=($gotKeep,$gotReason) " +
+          s"oracle=(${exp.keep},${exp.dropReason}) text='${t.text.take(120)}'")
+      agree += 1
+    }
+    assert(total > 1500)
+    assert(agree == total) // F1 = 1.0 ≥ 0.99
+  }
+
+  test("golden scrubbed text: byte-identical per turn (north_rule)") {
+    inputTurns.foreach { t =>
+      val exp = GoldenOracle.expected(t.text)
+      val got = engineRows((t.conv_id, t.turn_idx))
+      assert(got.getAs[String]("scrubbed_text") == exp.scrubbed,
+        s"turn ${t.conv_id}/${t.turn_idx}")
+      assert(got.getAs[Map[String, Int]]("scrub_hits") == exp.scrubHits,
+        s"turn ${t.conv_id}/${t.turn_idx} hits")
+    }
+  }
+
+  test("golden lang matches oracle; true-lang F1 ≥ 0.99 on clean turns") {
+    val labels = (0L until nConvs)
+      .flatMap(c => Transcripts.conversation(42L, c).map(_._2))
+      .map(l => (l.conv_id, l.turn_idx) -> l).toMap
+    val cleanResults = inputTurns.flatMap { t =>
+      val lab = labels((t.conv_id, t.turn_idx))
+      if (lab.planted == Seq("clean"))
+        Some((lab.true_lang, engineRows((t.conv_id, t.turn_idx)).getAs[String]("lang")))
+      else None
+    }
+    assert(cleanResults.size > 800)
+    Transcripts.langs.foreach { lang =>
+      val tp = cleanResults.count { case (t, p) => t == lang && p == lang }.toDouble
+      val fp = cleanResults.count { case (t, p) => t != lang && p == lang }.toDouble
+      val fn = cleanResults.count { case (t, p) => t == lang && p != lang }.toDouble
+      val f1 = 2 * tp / (2 * tp + fp + fn)
+      assert(f1 >= 0.99, s"pipeline langid F1($lang)=$f1")
+    }
+  }
+
+  test("all drop-reason labels occur in the corpus (rule coverage)") {
+    val reasons = engineRows.values
+      .flatMap(r => Option(r.getAs[String]("drop_reason"))).toSet
+    val expected = Set("too_short", "too_long", "repetition", "symbol_ratio",
+      "boilerplate", "grammar", "lang", "ppl")
+    assert(expected.subsetOf(reasons), s"missing: ${expected -- reasons}")
+  }
+
+  test("order invariance: decisions identical under repartition + shuffled input (SURVEY.md §5 property)") {
+    import org.apache.spark.sql.functions._
+    val ds = Transcripts.dataset(spark, 40L).toDF()
+    val base = Curate.curateDf(spark, ds)
+      .select("conv_id", "turn_idx", "keep", "drop_reason", "scrubbed_text")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val shuffled = Curate.curateDf(spark,
+        ds.orderBy(rand(123)).repartition(7))
+      .select("conv_id", "turn_idx", "keep", "drop_reason", "scrubbed_text")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(base.toSeq == shuffled.toSeq)
+  }
+
+  test("salted write repartition preserves (conv_id, turn_idx) sorted runs per partition") {
+    import org.apache.spark.sql.functions._
+    val ds = Transcripts.dataset(spark, 20L, skew = true, skewTurns = 2000).toDF()
+    val out = Curate.saltedForWrite(Curate.curateDf(spark, ds), 6, salt = 4)
+    val perPart = out.select("conv_id", "turn_idx")
+      .rdd.mapPartitions { it =>
+        val rows = it.map(r => (r.getString(0), r.getInt(1))).toSeq
+        Iterator.single(rows == rows.sorted)
+      }.collect()
+    assert(perPart.forall(identity))
+    // skewed conversation actually spread across >1 partition
+    val spread = out.select("conv_id")
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        it.collect { case r if r.getString(0) == "conv-00000000" => i }.toSet.iterator
+      }.collect().toSet
+    assert(spread.size > 1, s"skewed conv landed on $spread")
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.chunk.Chunker
+import graft.multimodal.Multimodal
+import graft.rules.QualityRules
+import graft.textstats.TextStats
+
+class ChunkerSpec extends AnyFunSuite {
+
+  test("chunks respect size budget and carry word-aligned overlap (text_chunker.py:22-58)") {
+    val sentences = (1 to 40).map(i => s"Sentence number $i has a few words").mkString(". ") + "."
+    val chunks = Chunker.chunkText(sentences, chunkSize = 120, overlap = 30)
+    assert(chunks.size > 3)
+    chunks.foreach(c => assert(c.length <= 120 + 60, s"chunk too big: ${c.length}"))
+    // consecutive chunks share overlap text
+    chunks.sliding(2).foreach { case Seq(a, b) =>
+      val tail = Chunker.overlapTail(a, 30)
+      assert(tail.isEmpty || b.startsWith(tail))
+    case _ => ()
+    }
+  }
+
+  test("short text → single chunk") {
+    assert(Chunker.chunkText("Tiny text. Nothing more.").size == 1)
+    assert(Chunker.chunkText("").isEmpty)
+    assert(Chunker.chunkText(null).isEmpty)
+  }
+
+  test("recursive splitter: pieces within size, all content covered (data_manager.py:87-95)") {
+    val text = (1 to 50).map(i => s"paragraph $i content here").mkString("\n\n")
+    val parts = Chunker.recursiveSplit(text, chunkSize = 100, overlap = 20)
+    assert(parts.forall(_.length <= 100 + 20))
+    // every paragraph appears in some chunk
+    (1 to 50).foreach(i => assert(parts.exists(_.contains(s"paragraph $i ")) ||
+      parts.exists(_.contains(s"paragraph $i"))))
+  }
+
+  test("word tokenize + lowercase (cfg_generator.py:346)") {
+    assert(Chunker.words("Hello, World! It's 42.").toSeq ==
+      Seq("hello", "world", "it", "s", "42"))
+  }
+}
+
+class QualityRulesSpec extends AnyFunSuite {
+
+  test("wordCount matches split semantics incl. unicode whitespace") {
+    assert(QualityRules.wordCount("a b  c\t d\n") == 4)
+    assert(QualityRules.wordCount("") == 0)
+    assert(QualityRules.wordCount(null) == 0)
+    assert(QualityRules.wordCount("我们 数据 处理") == 3)
+  }
+
+  test("first failing rule order is deterministic (ruleOrder contract)") {
+    assert(QualityRules.firstScalarFailure("") == "empty")
+    assert(QualityRules.firstScalarFailure("one two") == "too_short")
+    val rep = Array.fill(30)("word").mkString(" ")
+    assert(QualityRules.firstScalarFailure(rep) == "repetition")
+    val sym = "ok @#$% @#$% @#$% @#$% @#$% end word here"
+    assert(QualityRules.firstScalarFailure(sym) == "symbol_ratio")
+    assert(QualityRules.firstScalarFailure(
+      "Subscribe to our weekly newsletter for offers today") == "boilerplate")
+    assert(QualityRules.firstScalarFailure(
+      "this text is long enough and passes every scalar rule.") == null)
+  }
+
+  test("symbol ratio counts non-alnum non-space only") {
+    assert(QualityRules.symbolRatio("abc") == 0.0)
+    assert(math.abs(QualityRules.symbolRatio("a!b?") - 0.5) < 1e-9)
+  }
+
+  test("boilerplate patterns (web_scraper.py:78-83), case-insensitive") {
+    assert(QualityRules.isBoilerplate("please read our COOKIE policy now"))
+    assert(QualityRules.isBoilerplate("Follow us on the platform"))
+    assert(!QualityRules.isBoilerplate("we discuss privacy concerns generally"))
+  }
+}
+
+class TextStatsSpec extends AnyFunSuite {
+
+  test("fingerprint stable under whitespace jitter and case") {
+    val a = TextStats.fingerprint("Hello   World\tfoo")
+    val b = TextStats.fingerprint("hello world foo")
+    assert(a == b)
+    assert(TextStats.fingerprint("hello world bar") != a)
+  }
+
+  test("bpe-ish token count: words + punctuation") {
+    assert(TextStats.bpeTokenCountScala("hello, world!") == 4)
+    assert(TextStats.bpeTokenCountScala("") == 0)
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+
+  test("feature extraction deterministic; schema + batch plumbing real") {
+    val f1 = Multimodal.extractFeatures(spark, Multimodal.synthMedia(spark, 50))
+      .collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(spark, Multimodal.synthMedia(spark, 50))
+      .collect().sortBy(_.media_id)
+    assert(f1.map(_.content_hash).toSeq == f2.map(_.content_hash).toSeq)
+    assert(f1.forall(_.feature.length == Multimodal.FakeCodec.featureDim))
+    assert(f1.forall(f => f.width >= 64 && f.height >= 64))
+    assert(f1.filter(_.kind == "image").forall(_.duration_ms == 0L))
+    assert(f1.filter(_.kind != "image").forall(_.duration_ms > 0L))
+  }
+
+  test("frame sampling explodes deterministic offsets for video rows only") {
+    val feats = Multimodal.extractFeatures(spark, Multimodal.synthMedia(spark, 50)).toDF()
+    val frames = Multimodal.sampleFrames(feats, everyMs = 500L).collect()
+    assert(frames.nonEmpty)
+    val vids = feats.filter(org.apache.spark.sql.functions.col("kind") === "video").count()
+    assert(frames.map(_.getLong(0)).distinct.length == vids)
+    assert(frames.forall(_.getLong(1) % 500L == 0L))
+  }
+}
