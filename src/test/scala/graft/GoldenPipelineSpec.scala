@@ -144,6 +144,18 @@ class GoldenPipelineSpec extends SparkTestBase {
     assert(expected.subsetOf(reasons), s"missing: ${expected -- reasons}")
   }
 
+  test("fused CurateCore kernel == unfused column pipeline (all columns)") {
+    import org.apache.spark.sql.functions._
+    val ds = Transcripts.dataset(spark, 50L).toDF()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ppl", when(isnan(col("ppl")), -1.0).otherwise(round(col("ppl"), 9)))
+      .select("conv_id", "turn_idx", "lang", "lang_conf", "ppl", "rule_hits",
+        "keep", "drop_reason", "scrubbed_text", "scrub_hits")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.toString)
+    assert(norm(Curate.curateDf(spark, ds)).toSeq ==
+      norm(Curate.curateDfUnfused(spark, ds)).toSeq)
+  }
+
   test("order invariance: decisions identical under repartition + shuffled input (SURVEY.md §5 property)") {
     import org.apache.spark.sql.functions._
     val ds = Transcripts.dataset(spark, 40L).toDF()
