@@ -199,6 +199,19 @@ object SparkEntry {
               x => x.getField("scrubbed_text"))).as("reassembled"))
         .orderBy("conv_id")
     }),
+    "conv_reassemble_twophase" -> ((s, dir) => {
+      // R3 at scale: skewed 20k-turn conversation, bounded reducer state
+      val skewed = Transcripts.dataset(s, 50L, skew = true, skewTurns = 20000).toDF()
+      Curate.reassembleTwoPhase(Curate.curateDf(s, skewed))
+        .select("conv_id", "n_turns") // reassembled text too large to dump
+        .orderBy("conv_id")
+    }),
+    "conv_stats_salted" -> ((s, dir) => {
+      val skewed = Transcripts.dataset(s, 50L, skew = true, skewTurns = 20000).toDF()
+      Curate.convStatsSalted(Curate.curateDf(s, skewed))
+        .withColumn("avg_chars", r6(F.col("avg_chars")))
+        .orderBy("conv_id")
+    }),
     "change_detect" -> ((s, dir) => {
       // R4: word-level diff original vs scrubbed, first 5 changes
       val cur = curated(s, dir)

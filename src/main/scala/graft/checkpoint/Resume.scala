@@ -23,6 +23,12 @@ object Resume {
 
   final case class RunResult(processed: Seq[Int], skipped: Seq[Int])
 
+  /** @param concurrency number of partitions in flight at once. Spark's
+    *   scheduler is thread-safe: each worker thread submits its
+    *   partition's jobs independently, keeping the cluster busy while
+    *   another partition is in its (cheap, driver-side) commit step.
+    *   Each partition still commits atomically and independently.
+    */
   def run(
       spark: SparkSession,
       inputBase: String,
@@ -30,13 +36,15 @@ object Resume {
       cfg: QualityRules.Config = QualityRules.defaultConfig,
       models: Curate.Models = Curate.defaultModels,
       writePartitions: Int = 8,
-      maxPartitions: Int = Int.MaxValue
+      maxPartitions: Int = Int.MaxValue,
+      concurrency: Int = 1
   ): RunResult = {
     val inputParts = listInputPartitions(inputBase)
     val done = TableIO.donePartitions(outputBase)
-    val todo = inputParts.filterNot(done.contains).sorted
-    val processed = scala.collection.mutable.ArrayBuffer[Int]()
-    todo.take(maxPartitions).foreach { p =>
+    val todo = inputParts.filterNot(done.contains).sorted.take(maxPartitions)
+    val processed = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+
+    def processOne(p: Int): Unit = {
       val turns = TableIO.readPartition(spark, inputBase, p)
       val curated = Curate.curateDf(spark, turns, cfg, models)
       val ordered = Curate.saltedForWrite(curated, writePartitions)
@@ -44,9 +52,20 @@ object Resume {
       // metrics from the committed files (also validates the write)
       val m = Curate.metrics(spark.read.parquet(dir.toString), p).head()
       TableIO.writeManifest(outputBase, p, manifestJson(p, inputBase, m))
-      processed += p
+      processed.add(p)
     }
-    RunResult(processed.toSeq, done.toSeq.sorted)
+
+    if (concurrency <= 1) todo.foreach(processOne)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+      try {
+        val futures = todo.map(p =>
+          pool.submit(new Runnable { def run(): Unit = processOne(p) }))
+        futures.foreach(_.get()) // propagate first failure
+      } finally pool.shutdown()
+    }
+    import scala.jdk.CollectionConverters._
+    RunResult(processed.asScala.toSeq.sorted, done.toSeq.sorted)
   }
 
   def listInputPartitions(inputBase: String): Seq[Int] = {

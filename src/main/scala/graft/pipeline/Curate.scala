@@ -200,6 +200,59 @@ object Curate {
         "dropped_by_rule", "scrub_hit_counts")
   }
 
+  /** Two-phase ordered per-conversation reassembly (SURVEY.md §2.7 R3
+    * at scale): a 10^5-turn conversation would make a naive
+    * groupBy(conv_id).collect_list a single hot reducer holding the
+    * whole conversation. Phase 1 groups by (conv_id, turn_idx/blockSize)
+    * — bounded state per group regardless of conversation length —
+    * and concatenates each block in turn order; phase 2 concatenates
+    * the (few) block strings per conversation in block order. Result
+    * is byte-identical to the naive reassembly (asserted in tests).
+    */
+  def reassembleTwoPhase(curated: DataFrame, blockSize: Int = 1024): DataFrame = {
+    val block = (F.col("turn_idx") / blockSize).cast("int").as("block")
+    val partial = curated
+      .filter(F.col("keep"))
+      .groupBy(F.col("conv_id"), block)
+      .agg(
+        F.count(F.lit(1)).as("n_turns"),
+        F.concat_ws(" ",
+          F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("scrubbed_text")))),
+            x => x.getField("scrubbed_text"))).as("part"))
+    partial
+      .groupBy("conv_id")
+      .agg(
+        F.sum("n_turns").as("n_turns"),
+        F.concat_ws(" ",
+          F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("block"), F.col("part")))),
+            x => x.getField("part"))).as("reassembled"))
+  }
+
+  /** Salted two-phase per-conversation aggregation (SURVEY.md §4.1):
+    * partial aggregates per (conv_id, salt) spread a hot conversation
+    * over `salt` reducers, the final per-conv step combines `salt`
+    * tiny rows. (Spark's hash aggregate already does partial+final
+    * map-side combine for these; the explicit salt additionally bounds
+    * REDUCER-side group size for pathological keys, and is the pattern
+    * a conv-level heavy aggregation must follow at 10^12 turns.)
+    */
+  def convStatsSalted(curated: DataFrame, salt: Int = 16): DataFrame = {
+    val partial = curated
+      .groupBy(F.col("conv_id"), F.pmod(F.hash(F.col("turn_idx")), F.lit(salt)).as("__salt"))
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.when(F.col("keep"), 1L).otherwise(0L)).as("kept"),
+        F.sum(F.length(F.col("scrubbed_text")).cast("long")).as("chars"))
+    partial
+      .groupBy("conv_id")
+      .agg(
+        F.sum("n").as("n_turns"),
+        F.sum("kept").as("n_kept"),
+        (F.sum("chars") / F.sum("n")).as("avg_chars"))
+  }
+
   /** Skew-safe repartition for the WRITE path (SURVEY.md §4.1): spread
     * a hot conv_id over `salt` buckets while keeping (conv_id,
     * turn_idx) runs sorted within each output file — per-turn outputs

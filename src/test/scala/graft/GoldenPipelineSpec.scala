@@ -169,6 +169,33 @@ class GoldenPipelineSpec extends SparkTestBase {
     assert(base.toSeq == shuffled.toSeq)
   }
 
+  test("two-phase reassembly == naive reassembly, incl. a skewed 5k-turn conversation") {
+    import org.apache.spark.sql.functions._
+    val ds = Transcripts.dataset(spark, 15L, skew = true, skewTurns = 5000).toDF()
+    val cur = Curate.curateDf(spark, ds).persist()
+    val naive = cur.filter(col("keep"))
+      .groupBy("conv_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("turn_idx"), col("scrubbed_text")))),
+          x => x.getField("scrubbed_text"))).as("reassembled"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val twoPhase = Curate.reassembleTwoPhase(cur, blockSize = 128)
+      .collect().map(r => r.getAs[String]("conv_id") -> r.getAs[String]("reassembled")).toMap
+    assert(twoPhase.keySet == naive.keySet)
+    naive.foreach { case (c, text) =>
+      assert(twoPhase(c) == text, s"conv $c reassembly differs")
+    }
+    // salted conv stats agree with direct aggregation
+    val direct = cur.groupBy("conv_id")
+      .agg(count(lit(1)).as("n"), sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val salted = Curate.convStatsSalted(cur)
+      .collect().map(r => r.getAs[String]("conv_id") ->
+        (r.getAs[Long]("n_turns"), r.getAs[Long]("n_kept"))).toMap
+    assert(salted == direct)
+    cur.unpersist()
+  }
+
   test("salted write repartition preserves (conv_id, turn_idx) sorted runs per partition") {
     import org.apache.spark.sql.functions._
     val ds = Transcripts.dataset(spark, 20L, skew = true, skewTurns = 2000).toDF()

@@ -89,12 +89,12 @@ class ResumeSpec extends SparkTestBase {
       val victim = TableIO.donePartitions(out).max
       Files.delete(TableIO.manifestPath(out, victim))
       assert(TableIO.donePartitions(out).size == 1)
-      val r = Resume.run(spark, in, out)
+      val r = Resume.run(spark, in, out, concurrency = 3)
       assert(r.processed.contains(victim))
       assert(TableIO.donePartitions(out).size == 3)
       val rows = collectOutput(out)
       val ref = freshDir("out2ref")
-      Resume.run(spark, in, ref)
+      Resume.run(spark, in, ref, concurrency = 3) // concurrent == sequential output
       assert(rows == collectOutput(ref))
       TableIO.deleteRecursive(Paths.get(ref))
     } finally {
