@@ -24,6 +24,8 @@ object Bench {
     "q4_hash_project", "q5_minlen_filter", "q6_dedup_exact", "q7_scrub",
     "q8_rule_match_counts", "q9_quality", "q10_topk_sources",
     "q13_token_stats", "q14_new_words", "q15_lang_summary", "q12_knn",
+    "q16_custom_expr", "q17_running_window", "q18_sessionize",
+    "q19_distinct_agg", "q20_anti_join", "q21_join_agg_topk",
     "dedup_minhash_clusters", "dedup_simhash", "ann_lsh",
     "langid_documents", "quality_score", "fingerprint", "chunk_documents",
     "multimodal_features")

@@ -78,6 +78,53 @@ object SparkEntry {
           F.row_number().over(w).as("rn"))
         .orderBy("user_id", "rn")
     }),
+    "q17_running_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_id"),
+          F.round(F.sum("value").over(w), 4).as("running_value"))
+        .orderBy("user_id", "event_id")
+    }),
+    "q18_sessionize" -> ((s, dir) => {
+      // lag-based session assignment: new session after a >30min gap
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // ts is TIMESTAMP_NTZ; NTZ→LTZ under the UTC session then epoch
+      val epoch = (c: org.apache.spark.sql.Column) => c.cast("timestamp").cast("long")
+      val gap = (epoch(F.col("ts")) -
+        epoch(F.lag(F.col("ts"), 1).over(byUser))) > 1800L
+      tbl(s, dir, "events")
+        .withColumn("new_session", F.when(gap, 1L).otherwise(0L))
+        .select(F.col("user_id"), F.col("event_id"),
+          F.sum("new_session")
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("session_id"))
+        .orderBy("user_id", "event_id")
+    }),
+    "q19_distinct_agg" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").as("n_custs"), F.count(F.lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+    "q20_anti_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val urgent = tbl(s, dir, "orders")
+        .filter(F.col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    }),
+    "q21_join_agg_topk" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val p = tbl(s, dir, "part")
+      li.join(F.broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2)
+          .as("revenue"), F.count(F.lit(1)).as("n"))
+        .orderBy(F.desc("revenue"), F.col("p_brand"))
+        .limit(10)
+    }),
     "q11_events_hourly" -> ((s, dir) => {
       tbl(s, dir, "events")
         .groupBy(F.col("event_type"), F.date_trunc("hour", F.col("ts")).as("hour"))
@@ -385,6 +432,26 @@ object SparkEntry {
       "q11_events_hourly" ->
         ("SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, " +
           "round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+      "q17_running_window" ->
+        ("SELECT user_id, event_id, round(sum(value) OVER (PARTITION BY user_id " +
+          "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) " +
+          "AS running_value FROM events ORDER BY user_id, event_id"),
+      "q18_sessionize" ->
+        ("WITH gaps AS (SELECT user_id, event_id, ts, CASE WHEN ts - lag(ts) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END " +
+          "AS new_session FROM events) SELECT user_id, event_id, CAST(sum(new_session) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+          "CURRENT ROW) AS BIGINT) AS session_id FROM gaps ORDER BY user_id, event_id"),
+      "q19_distinct_agg" ->
+        ("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, count(*) AS n " +
+          "FROM orders GROUP BY 1 ORDER BY 1"),
+      "q20_anti_join" ->
+        ("SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders " +
+          "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') ORDER BY c_custkey"),
+      "q21_join_agg_topk" ->
+        ("SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+          "count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey " +
+          "GROUP BY 1 ORDER BY revenue DESC, p_brand LIMIT 10"),
       "q4_hash_project" ->
         ("SELECT doc_id, md5(text) AS content_hash, " +
           "len(string_split(text, ' ')) AS word_count FROM documents ORDER BY doc_id"),
