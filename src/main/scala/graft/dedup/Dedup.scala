@@ -4,7 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operator family for large-scale training-data
-  * pipelines. The reference seeds only EXACT dedup (md5 content hash +
+  * pipelines. Algorithms from the public literature: MinHash resemblance
+  * sketches (Broder, "On the resemblance and containment of documents",
+  * SEQUENCES 1997) with banded LSH (Leskovec/Rajaraman/Ullman, Mining of
+  * Massive Datasets ch.3), SimHash (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC 2002) with the Hamming
+  * pigeonhole trick (Manku/Jain/Das Sarma, "Detecting near-duplicates
+  * for web crawling", WWW 2007). The reference seeds only EXACT dedup (md5 content hash +
   * first-wins, web_scraper.py:154,186-196); the near-dup operators
   * (MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine) are the
   * standard scale path (shingle → sketch → band → bucket-join) so the

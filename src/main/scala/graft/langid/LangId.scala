@@ -1,6 +1,8 @@
 package graft.langid
 
-/** fastText-style character n-gram language identifier (SURVEY.md §2.4).
+/** fastText-style character n-gram language identifier (SURVEY.md §2.4;
+  * hashed-n-gram linear model after Joulin et al., "Bag of Tricks for
+  * Efficient Text Classification", EACL 2017).
   *
   * The reference implicitly assumes English (NLTK English tokenizers,
   * cfg_checker.py:17-25; English-only lexicon cfg_generator.py:138-193);

@@ -55,7 +55,10 @@ final class LongFloatMap(initialCapacity: Int) extends Serializable {
 }
 
 /** KenLM-style word n-gram language model with stupid backoff
-  * (SURVEY.md §2.5) — the rebuild's upgrade of the reference's binary
+  * (SURVEY.md §2.5; backoff scheme after Brants et al., "Large Language
+  * Models in Machine Translation", EMNLP 2007; hashed-probing table
+  * layout after Heafield, "KenLM: Faster and Smaller Language Model
+  * Queries", WMT 2011) — the rebuild's upgrade of the reference's binary
   * "is this well-formed language" CYK signal (cfg_generator.py:488-500).
   *
   * log p(w | ctx) = log(c(ctx·w)/c(ctx)) when seen, else
