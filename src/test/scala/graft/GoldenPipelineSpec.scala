@@ -144,6 +144,25 @@ class GoldenPipelineSpec extends SparkTestBase {
     assert(expected.subsetOf(reasons), s"missing: ${expected -- reasons}")
   }
 
+  test("optional CYK rule drops structurally-invalid short sentences when enabled") {
+    import graft.pipeline.CurateCore
+    val cfg = graft.rules.QualityRules.defaultConfig.copy(cykEnabled = true)
+    val core = new CurateCore(Curate.defaultModels.langId, Curate.defaultModels.lm, cfg)
+    // ≤12-word sentences, grammar-clean, but invalid under the effective
+    // CNF grammar (intransitives can't form VP — CykSpec)
+    val invalid = "the dog runs. the cat sleeps. the man walks."
+    assert(core.process(invalid).drop_reason == "cyk")
+    // transitive sentences parse → no cyk drop
+    // verbs must come from the base lexicon ('takes'/'makes' would be
+    // POS-guessed as N and fail the parse — cfg_generator.py:454-462)
+    val valid = "the dog sees the cat. the man sees the book. the woman eats the food."
+    assert(core.process(valid).drop_reason != "cyk")
+    // default config leaves CYK off
+    val coreOff = new CurateCore(Curate.defaultModels.langId, Curate.defaultModels.lm,
+      graft.rules.QualityRules.defaultConfig)
+    assert(coreOff.process(invalid).drop_reason != "cyk")
+  }
+
   test("fused CurateCore kernel == unfused column pipeline (all columns)") {
     import org.apache.spark.sql.functions._
     val ds = Transcripts.dataset(spark, 50L).toDF()
