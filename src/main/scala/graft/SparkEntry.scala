@@ -281,6 +281,11 @@ object SparkEntry {
           F.round(F.avg(F.col("h.confidence")), 6).as("avg_conf"))
         .orderBy("rule_id")
     }),
+    "dynamic_grammar" -> ((s, dir) => {
+      // A6: learned (lhs, rhs, frequency) production dim table
+      graft.grammar.DynamicGrammar.learn(synthTurns(s, dir))
+        .orderBy(F.desc("frequency"), F.col("rhs"))
+    }),
     "cyk_parse" -> ((s, dir) => {
       // G6/G7: CYK validity over canonical + synthesized sentences
       import s.implicits._

@@ -143,3 +143,32 @@ class CykSpec extends AnyFunSuite {
     assert(!Cyk.parseSentence("").valid)
   }
 }
+
+class DynamicGrammarSpec extends AnyFunSuite {
+  import graft.grammar.DynamicGrammar
+
+  test("productions extracted per the template bank (cfg_generator.py:781-820)") {
+    val prods = DynamicGrammar.productions("the dog sees the cat.").toSet
+    assert(prods.contains((Seq("DET", "N"), "NP")))
+    assert(prods.contains((Seq("V"), "VP")))
+    assert(prods.contains((Seq("N", "V"), "S")))
+    // "he is happy" → PRP→NP, AUX+ADJ→VP, ADJ→ADJP
+    val p2 = DynamicGrammar.productions("he is very happy today.").toSet
+    assert(p2.contains((Seq("PRP"), "NP")))
+    assert(p2.contains((Seq("ADV", "ADJ"), "ADJP")))
+  }
+
+  test("tagger: lexicon priority + fallback; preposition stays P (IN-dup bug NOT replicated)") {
+    assert(DynamicGrammar.tagWord("the") == "DET")
+    assert(DynamicGrammar.tagWord("in") == "P") // cfg_generator.py:763/765 dup-key bug avoided
+    assert(DynamicGrammar.tagWord("be") == "AUX") // multi-tag {V,AUX} → priority
+    assert(DynamicGrammar.tagWord("quickly") == "ADV")
+    assert(DynamicGrammar.tagWord("zorbly") == "ADV") // fallback -ly
+  }
+
+  test("sentence cap honored (cfg_generator.py:708)") {
+    val many = (1 to 60).map(i => s"the dog sees the cat number $i").mkString(". ")
+    // 50-sentence cap → still finds productions, doesn't blow up
+    assert(DynamicGrammar.productions(many, maxSentences = 50).nonEmpty)
+  }
+}
