@@ -332,6 +332,17 @@ object SparkEntry {
         .filter(F.col("id") =!= F.col("rep_id")) // the near-dup rows
         .orderBy("id")
     }),
+    "dedup_conversations" -> ((s, dir) => {
+      // conversation-level near-dup via the custom MinHashAgg aggregate;
+      // synth corpus: plant a duplicated conversation
+      import s.implicits._
+      val base = synthTurns(s, dir)
+      val dup = Transcripts.conversation(42L, 1L)
+        .map(_._1.copy(conv_id = "conv-dup-of-1")).toDF()
+      Dedup.convNearDups(base.unionByName(dup), threshold = 0.7)
+        .withColumn("est_jaccard", r6(F.col("est_jaccard")))
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), "vec_id", "embedding",
           simThreshold = 0.25, nBits = 8, nBands = 4)

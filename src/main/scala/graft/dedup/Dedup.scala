@@ -180,6 +180,55 @@ object Dedup extends Serializable {
       .groupBy("id").agg(F.min("bucket_rep").as("rep_id"))
   }
 
+  /** CONVERSATION-level near-duplicates — the true analog of the
+    * reference's document-level dedup (web_scraper.py:186-196; conv =
+    * doc, SURVEY.md §1.2). The group signature comes from the custom
+    * [[graft.functions.MinHashAgg]] TypedImperativeAggregate
+    * (element-wise min across turns = MinHash of the union shingle
+    * set), so the whole operator is: one hash aggregate on conv_id →
+    * band equi-join → signature-agreement Jaccard estimate. No
+    * conversation text is ever collected into one place.
+    */
+  def convNearDups(
+      turns: DataFrame,
+      idCol: String = "conv_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = turns.groupBy(F.col(idCol).as("id"))
+      .agg(graft.functions.MinHashAgg.minhash_agg(F.col(textCol), numHashes).as("sig"))
+    val bandU = F.udf { (sig: Seq[Long]) =>
+      (0 until bands).map { b =>
+        var h = 0x9e3779b97f4a7c15L
+        var r = 0
+        while (r < rows) { h = mix(h ^ sig(b * rows + r)); r += 1 }
+        (b, h)
+      }
+    }
+    // estimated Jaccard = fraction of agreeing signature components
+    val estU = F.udf { (a: Seq[Long], b: Seq[Long]) =>
+      var eq = 0
+      var i = 0
+      while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / a.length
+    }
+    val banded = sigs
+      .select(F.col("id"), F.col("sig"), F.explode(bandU(F.col("sig"))).as("b"))
+      .select(F.col("id"), F.col("sig"), F.col("b._1").as("band"), F.col("b._2").as("bh"))
+    val l = banded.select(F.col("band"), F.col("bh"), F.col("id").as("id_a"), F.col("sig").as("sig_a"))
+    val r = banded.select(F.col("band"), F.col("bh"), F.col("id").as("id_b"), F.col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bh"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est_jaccard", estU(F.col("sig_a"), F.col("sig_b")))
+      .filter(F.col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** 64-bit SimHash over word unigrams. */
   def simhash(text: String): Long = {
     if (text == null) return 0L

@@ -71,6 +71,39 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(out((1L, 2L)) - expected) < 1e-9)
   }
 
+  test("MinHashAgg: group signature == signature of concatenated text; conv near-dups found") {
+    import spark.implicits._
+    import graft.functions.MinHashAgg
+    // signature built distributively over turns == signature of the union shingle set
+    val turns = Seq(
+      ("c1", "the quick brown fox jumps over the lazy dog"),
+      ("c1", "pack my box with five dozen liquor jugs today"),
+      ("c2", "the quick brown fox jumps over the lazy dog"),   // c2 == c1 turn-for-turn
+      ("c2", "pack my box with five dozen liquor jugs today"),
+      ("c3", "completely unrelated catalyst whole stage codegen internals")
+    ).toDF("conv_id", "text")
+    val sigs = turns.groupBy("conv_id")
+      .agg(MinHashAgg.minhash_agg(col("text")).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("c1") == sigs("c2")) // identical conversations → identical signatures
+    assert(sigs("c1") != sigs("c3"))
+    // direct check against the scala-side union signature
+    val unionSig = Dedup.minhashSignature(
+      (Dedup.shingles("the quick brown fox jumps over the lazy dog", 3) ++
+        Dedup.shingles("pack my box with five dozen liquor jugs today", 3)).distinct, 64)
+    assert(sigs("c1").toArray.toSeq == unionSig.toSeq)
+    // operator end-to-end
+    val pairs = Dedup.convNearDups(turns, threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == "c1" && p._2 == "c2" && p._3 == 1.0))
+    assert(!pairs.exists(p => Set(p._1, p._2).contains("c3")))
+    // merge path: same result under repartition (partial buffers merged)
+    val sigs7 = turns.repartition(7).groupBy("conv_id")
+      .agg(MinHashAgg.minhash_agg(col("text")).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs7 == sigs)
+  }
+
   test("cosineCol column expression == scala cosine") {
     import spark.implicits._
     val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-1.0f, 0.5f, 0.0f)))
