@@ -358,6 +358,13 @@ object SparkEntry {
       Similarity.topKLsh(emb, "vec_id", "embedding", q, k = 5)
         .withColumn("sim", r6(F.col("sim")))
     }),
+    "ann_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Similarity.topKIvf(emb, "vec_id", "embedding", q, k = 5, nCells = 16, nprobe = 4)
+        .withColumn("sim", r6(F.col("sim")))
+    }),
     "ann_batch_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val qs = emb.filter(F.col("vec_id") < 4)

@@ -103,6 +103,63 @@ object Similarity extends Serializable {
     sig
   }
 
+  /** IVF (inverted-file) index: deterministic centroids (the first k
+    * rows by id — seeded sampling without RNG state), every vector
+    * assigned to its nearest centroid (map-only). At scale the
+    * assignment is a table column / partition key, so probes prune
+    * partitions.
+    */
+  def ivfAssign(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int = 16
+  ): (Array[(Long, Array[Float])], DataFrame) = {
+    val centroids = df
+      .select(F.col(idCol).cast("long"), F.col(embCol))
+      .orderBy(idCol).limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assignU = F.udf { (v: Array[Float]) =>
+      var best = 0
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < centroids.length) {
+        val s = cosine(v, centroids(i)._2)
+        if (s > bestSim) { bestSim = s; best = i }
+        i += 1
+      }
+      best
+    }
+    (centroids, df.withColumn("__ivf_cell", assignU(F.col(embCol))))
+  }
+
+  /** IVF approximate top-k: score the query against the centroids,
+    * probe the `nprobe` nearest cells, exact cosine only inside them.
+    * nprobe == k degenerates to exact brute force (tested).
+    */
+  def topKIvf(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: Array[Float],
+      k: Int = 5,
+      nCells: Int = 16,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val (centroids, assigned) = ivfAssign(df, idCol, embCol, nCells)
+    val probed = centroids.zipWithIndex
+      .map { case ((_, c), i) => (i, cosine(query, c)) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(nprobe).map(_._1).toSet
+    val cosU = F.udf((a: Array[Float]) => cosine(a, query))
+    assigned
+      .filter(F.col("__ivf_cell").isInCollection(probed))
+      .select(F.col(idCol), cosU(F.col(embCol)).as("sim"))
+      .orderBy(F.col("sim").desc, F.col(idCol))
+      .limit(k)
+  }
+
   /** LSH-bucketed approximate top-k for one query: prune to rows whose
     * signature shares a band with the query's, then exact cosine top-k
     * on the candidates. At scale the signature is a precomputed table

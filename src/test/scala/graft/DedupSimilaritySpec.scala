@@ -134,6 +134,26 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(lsh.contains(1L)) // near vector shares buckets with base
   }
 
+  test("IVF: probing all cells == brute force; partial probe returns a subset") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val brute = Similarity.topK(emb, "vec_id", "embedding",
+        q.map(_.toDouble).toSeq, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    val ivfAll = Similarity.topKIvf(emb, "vec_id", "embedding", q,
+        k = 5, nCells = 8, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivfAll == brute) // full probe degenerates to exact search
+    val ivfPartial = Similarity.topKIvf(emb, "vec_id", "embedding", q,
+        k = 5, nCells = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivfPartial.nonEmpty)
+    // partial-probe results are genuine similarities from probed cells,
+    // sorted descending
+    assert(ivfPartial.map(_._2).toSeq == ivfPartial.map(_._2).sorted.reverse.toSeq)
+  }
+
   test("topKBatch ranks per query with deterministic tie-break") {
     import spark.implicits._
     val vs = Seq(
