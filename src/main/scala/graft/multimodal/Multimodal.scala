@@ -74,6 +74,24 @@ object Multimodal {
     def sampleFrameOffsets(durationMs: Long, everyMs: Long): Seq[Long] =
       if (durationMs <= 0 || everyMs <= 0) Nil
       else 0L.until(durationMs, everyMs)
+
+    /** STUB resize: deterministic bytes derived from (content hash,
+      * target dims) with a plausible size model (∝ w·h); a real codec
+      * replaces only this function.
+      */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val h0 = hashBytes(bytes)
+      val n = math.max(16, (w.toLong * h / 64).toInt)
+      val out = new Array[Byte](n)
+      var x = mix(h0 ^ mix(w.toLong << 32 | h.toLong))
+      var i = 0
+      while (i < n) {
+        if (i % 8 == 0) x = mix(x)
+        out(i) = (x >>> ((i % 8) * 8)).toByte
+        i += 1
+      }
+      out
+    }
   }
 
   /** Batched decode/feature-extract over partitions: resources (a real
@@ -91,6 +109,32 @@ object Multimodal {
       // [real codec: open native handle here, close via final batch]
       rows.grouped(batchSize).flatMap { batch =>
         batch.map(FakeCodec.decode)
+      }
+    }
+  }
+
+  /** Resize images (and video posters) to target dims — batched per
+    * partition like extractFeatures; non-image rows pass through
+    * untouched. Output rows carry the new dims in `meta` so downstream
+    * schema stays stable.
+    */
+  def resizeImages(
+      spark: SparkSession,
+      media: Dataset[MediaRow],
+      w: Int,
+      h: Int,
+      batchSize: Int = 64
+  ): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          if (r.kind == "image" && r.media != null)
+            r.copy(
+              media = FakeCodec.resize(r.media, w, h),
+              meta = r.meta ++ Map("resized_w" -> w.toString, "resized_h" -> h.toString))
+          else r
+        }
       }
     }
   }

@@ -106,6 +106,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1.filter(_.kind != "image").forall(_.duration_ms > 0L))
   }
 
+  test("resize: images get new deterministic bytes + meta dims; others pass through") {
+    val media = Multimodal.synthMedia(spark, 40)
+    val resized = Multimodal.resizeImages(spark, media, 256, 256)
+      .collect().sortBy(_.media_id)
+    val orig = media.collect().sortBy(_.media_id)
+    resized.zip(orig).foreach { case (r, o) =>
+      if (o.kind == "image") {
+        assert(r.meta("resized_w") == "256")
+        assert(!java.util.Arrays.equals(r.media, o.media))
+      } else {
+        assert(java.util.Arrays.equals(r.media, o.media))
+        assert(!r.meta.contains("resized_w"))
+      }
+    }
+    // deterministic
+    val again = Multimodal.resizeImages(spark, media, 256, 256)
+      .collect().sortBy(_.media_id)
+    resized.zip(again).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.media, b.media))
+    }
+  }
+
   test("frame sampling explodes deterministic offsets for video rows only") {
     val feats = Multimodal.extractFeatures(spark, Multimodal.synthMedia(spark, 50)).toDF()
     val frames = Multimodal.sampleFrames(feats, everyMs = 500L).collect()
