@@ -26,7 +26,8 @@ object Bench {
     "q13_token_stats", "q14_new_words", "q15_lang_summary", "q12_knn",
     "q16_custom_expr", "q17_running_window", "q18_sessionize",
     "q19_distinct_agg", "q20_anti_join", "q21_join_agg_topk",
-    "dedup_minhash_clusters", "dedup_simhash", "ann_lsh",
+    "dedup_minhash_clusters", "dedup_simhash", "dedup_conversations",
+    "ann_lsh", "ann_ivf",
     "langid_documents", "quality_score", "fingerprint", "chunk_documents",
     "multimodal_features")
 

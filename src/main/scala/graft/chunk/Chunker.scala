@@ -90,6 +90,10 @@ object Chunker extends Serializable {
     parts.foreach { p0 =>
       val p = if (p0.length > chunkSize) {
         flush()
+        // drop the carried overlap tail: the long part's sub-chunks are
+        // emitted directly below, and emitting the tail later would
+        // produce a stray out-of-order fragment
+        current.clear()
         val sub = recursiveSplit(p0, chunkSize, overlap, if (rest.isEmpty) List("") else rest)
         out ++= sub.dropRight(1)
         sub.lastOption.getOrElse("")

@@ -1,7 +1,9 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.{DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
+
+import graft.util.Hash.mix
 
 /** Deduplication operator family for large-scale training-data
   * pipelines. Algorithms from the public literature: MinHash resemblance
@@ -10,24 +12,32 @@ import org.apache.spark.sql.expressions.Window
   * Massive Datasets ch.3), SimHash (Charikar, "Similarity estimation
   * techniques from rounding algorithms", STOC 2002) with the Hamming
   * pigeonhole trick (Manku/Jain/Das Sarma, "Detecting near-duplicates
-  * for web crawling", WWW 2007). The reference seeds only EXACT dedup (md5 content hash +
-  * first-wins, web_scraper.py:154,186-196); the near-dup operators
-  * (MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine) are the
-  * standard scale path (shingle → sketch → band → bucket-join) so the
-  * candidate join is an equi-join on (band, signature) — never an
-  * O(n²) cross product.
+  * for web crawling", WWW 2007). The reference seeds only EXACT dedup
+  * (md5 content hash + first-wins, web_scraper.py:154,186-196); the
+  * near-dup operators (MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  * cosine) are the standard scale path (shingle → sketch → band →
+  * bucket-join) so the candidate join is an equi-join on (band,
+  * signature) — never an O(n²) cross product.
+  *
+  * Tokenization is Unicode-aware (`\p{L}\p{N}_` word chars) — CJK text
+  * shingles correctly. Rows with NO tokens (symbol-only/empty text)
+  * produce no sketch and are excluded from near-dup candidate
+  * generation (they'd otherwise all collide on the empty sketch).
   *
   * All randomness is seeded constants — results are deterministic
   * across runs and partitionings.
   */
 object Dedup extends Serializable {
 
-  @inline private def mix(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
+  /** Unicode word tokens, lowercased. */
+  def tokens(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    text.toLowerCase.split("[^\\p{L}\\p{N}_]+").filter(_.nonEmpty)
   }
+
+  /** SQL predicate: row has at least one word token (sketchable). */
+  def hasTokensCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.isNotNull && c.rlike("[\\p{L}\\p{N}_]")
 
   /** Exact dedup, deterministic first-wins (SURVEY.md §2.2 P9): the
     * reference keeps the FIRST doc per content hash (order-dependent
@@ -42,12 +52,14 @@ object Dedup extends Serializable {
       .drop("__rn")
   }
 
-  /** Word n-gram shingle set (lowercased, distinct, hashed to Long). */
+  /** Word n-gram shingle set: lowercased, distinct, hashed to Long,
+    * SORTED ascending (jaccard's merge-intersection requires it).
+    */
   def shingles(text: String, n: Int): Array[Long] = {
-    if (text == null) return Array.emptyLongArray
-    val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val words = tokens(text)
+    if (words.isEmpty) return Array.emptyLongArray
     if (words.length < n) {
-      return words.map(w => mix(w.hashCode.toLong)).distinct
+      return words.map(w => mix(w.hashCode.toLong)).distinct.sorted
     }
     val out = new java.util.TreeSet[java.lang.Long]()
     var i = 0
@@ -80,11 +92,13 @@ object Dedup extends Serializable {
     sig
   }
 
+  /** Exact Jaccard over two SORTED hash arrays. Empty sets share no
+    * content → 0.0 (dedup semantics: token-less rows never match).
+    */
   def jaccard(a: Array[Long], b: Array[Long]): Double = {
-    if (a.isEmpty && b.isEmpty) return 1.0
     if (a.isEmpty || b.isEmpty) return 0.0
     var i = 0; var j = 0; var inter = 0
-    while (i < a.length && j < b.length) { // both sorted (TreeSet)
+    while (i < a.length && j < b.length) {
       if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
       else if (a(i) < b(j)) i += 1
       else j += 1
@@ -92,12 +106,22 @@ object Dedup extends Serializable {
     inter.toDouble / (a.length + b.length - inter)
   }
 
+  /** One band-hash fold — the SINGLE definition all banded variants
+    * share (minhash pairs / clusters / conversation-level).
+    */
+  def bandHashes(sig: IndexedSeq[Long], bands: Int, rowsPerBand: Int): Seq[(Int, Long)] =
+    (0 until bands).map { b =>
+      var h = 0x9e3779b97f4a7c15L
+      var r = 0
+      while (r < rowsPerBand) { h = mix(h ^ sig(b * rowsPerBand + r)); r += 1 }
+      (b, h)
+    }
+
   /** MinHash + LSH near-duplicate pairs (ids a < b, verified Jaccard ≥
     * threshold). Plan shape: per-row sketch (map-only) → explode into
     * `bands` rows → shuffle on (band, band_hash) equi-join →
     * candidate dedup → exact-Jaccard verify on the (small) candidate
-    * set. The only shuffle keys are band buckets — no skew (hashes are
-    * uniform), no cross product.
+    * set. Token-less rows are excluded (no sketch → no candidates).
     */
   def minhashNearDups(
       df: DataFrame,
@@ -111,20 +135,14 @@ object Dedup extends Serializable {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val shU = F.udf((t: String) => shingles(t, shingleSize))
-    val sigU = F.udf((sh: Array[Long]) => minhashSignature(sh, numHashes))
-    val bandU = F.udf { (sig: Array[Long]) =>
-      (0 until bands).map { b =>
-        var h = 0x9e3779b97f4a7c15L
-        var r = 0
-        while (r < rows) { h = mix(h ^ sig(b * rows + r)); r += 1 }
-        (b, h)
-      }
-    }
+    val bandU = F.udf((sh: Array[Long]) =>
+      bandHashes(minhashSignature(sh, numHashes), bands, rows))
     val jacU = F.udf((a: Array[Long], b: Array[Long]) => jaccard(a, b))
 
     val sketched = df
       .select(F.col(idCol).as("id"), shU(F.col(textCol)).as("sh"))
-      .withColumn("bands", bandU(sigU(F.col("sh"))))
+      .filter(F.size(F.col("sh")) > 0)
+      .withColumn("bands", bandU(F.col("sh")))
     val banded = sketched
       .select(F.col("id"), F.col("sh"), F.explode(F.col("bands")).as("b"))
       .select(F.col("id"), F.col("sh"), F.col("b._1").as("band"), F.col("b._2").as("bh"))
@@ -146,7 +164,8 @@ object Dedup extends Serializable {
     * buckets as its cluster representative — per-bucket work is
     * O(group), the shape that survives 10^12 rows with large duplicate
     * groups (e.g. boilerplate repeated millions of times). Output:
-    * (id, rep_id); rows with id == rep_id are the survivors.
+    * (id, rep_id) for EVERY input row; token-less rows are their own
+    * representative. Rows with id == rep_id are the survivors.
     * One-pass bucket-min approximation: transitive chains longer than
     * one hop keep their bucket-local representative (iterate to a fixed
     * point for full connected components — rarely needed for dedup).
@@ -162,22 +181,20 @@ object Dedup extends Serializable {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val shU = F.udf((t: String) => shingles(t, shingleSize))
-    val sigU = F.udf((sh: Array[Long]) => minhashSignature(sh, numHashes))
-    val bandU = F.udf { (sig: Array[Long]) =>
-      (0 until bands).map { b =>
-        var h = 0x9e3779b97f4a7c15L
-        var r = 0
-        while (r < rows) { h = mix(h ^ sig(b * rows + r)); r += 1 }
-        (b, h)
-      }
-    }
-    val banded = df
-      .select(F.col(idCol).as("id"), bandU(sigU(shU(F.col(textCol)))).as("bands"))
-      .select(F.col("id"), F.explode(F.col("bands")).as("b"))
+    val bandU = F.udf((sh: Array[Long]) =>
+      bandHashes(minhashSignature(sh, numHashes), bands, rows))
+    val sketched = df
+      .select(F.col(idCol).as("id"), shU(F.col(textCol)).as("sh"))
+    val sketchable = sketched.filter(F.size(F.col("sh")) > 0)
+    val unsketchable = sketched.filter(F.size(F.col("sh")) === 0)
+      .select(F.col("id"), F.col("id").as("rep_id"))
+    val banded = sketchable
+      .select(F.col("id"), F.explode(bandU(F.col("sh"))).as("b"))
       .select(F.col("id"), F.col("b._1").as("band"), F.col("b._2").as("bh"))
     val bucketMin = banded.groupBy("band", "bh").agg(F.min("id").as("bucket_rep"))
     banded.join(bucketMin, Seq("band", "bh"))
       .groupBy("id").agg(F.min("bucket_rep").as("rep_id"))
+      .unionByName(unsketchable)
   }
 
   /** CONVERSATION-level near-duplicates — the true analog of the
@@ -187,7 +204,8 @@ object Dedup extends Serializable {
     * (element-wise min across turns = MinHash of the union shingle
     * set), so the whole operator is: one hash aggregate on conv_id →
     * band equi-join → signature-agreement Jaccard estimate. No
-    * conversation text is ever collected into one place.
+    * conversation text is ever collected into one place. Conversations
+    * with no sketchable turns are excluded.
     */
   def convNearDups(
       turns: DataFrame,
@@ -201,14 +219,8 @@ object Dedup extends Serializable {
     val rows = numHashes / bands
     val sigs = turns.groupBy(F.col(idCol).as("id"))
       .agg(graft.functions.MinHashAgg.minhash_agg(F.col(textCol), numHashes).as("sig"))
-    val bandU = F.udf { (sig: Seq[Long]) =>
-      (0 until bands).map { b =>
-        var h = 0x9e3779b97f4a7c15L
-        var r = 0
-        while (r < rows) { h = mix(h ^ sig(b * rows + r)); r += 1 }
-        (b, h)
-      }
-    }
+      .filter(F.array_min(F.col("sig")) =!= Long.MaxValue) // some turn had tokens
+    val bandU = F.udf((sig: Seq[Long]) => bandHashes(sig.toIndexedSeq, bands, rows))
     // estimated Jaccard = fraction of agreeing signature components
     val estU = F.udf { (a: Seq[Long], b: Seq[Long]) =>
       var eq = 0
@@ -229,18 +241,15 @@ object Dedup extends Serializable {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** 64-bit SimHash over word unigrams. */
+  /** 64-bit SimHash over word unigrams (Unicode tokens). */
   def simhash(text: String): Long = {
-    if (text == null) return 0L
     val counts = new Array[Int](64)
-    text.toLowerCase.split("\\W+").foreach { w =>
-      if (w.nonEmpty) {
-        val h = mix(w.hashCode.toLong)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
+    tokens(text).foreach { w =>
+      val h = mix(w.hashCode.toLong)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
       }
     }
     var out = 0L
@@ -258,6 +267,7 @@ object Dedup extends Serializable {
     * to their min-id representative BEFORE banding — otherwise a group
     * of size g emits O(g²) candidate rows. Output: intra-group dups as
     * (rep, member, 0) plus inter-group pairs between representatives.
+    * Token-less rows are excluded.
     */
   def simhashNearDups(
       df: DataFrame,
@@ -267,7 +277,9 @@ object Dedup extends Serializable {
   ): DataFrame = {
     val shU = F.udf((t: String) => simhash(t))
     val hamU = F.udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
-    val sigs = df.select(F.col(idCol).as("id"), shU(F.col(textCol)).as("sig"))
+    val sigs = df
+      .filter(hasTokensCol(F.col(textCol)))
+      .select(F.col(idCol).as("id"), shU(F.col(textCol)).as("sig"))
     val groups = sigs.groupBy("sig").agg(F.min("id").as("rep"))
     // intra-group: every non-rep member pairs with its rep at distance 0
     val intra = sigs.join(groups, Seq("sig"))
@@ -295,7 +307,10 @@ object Dedup extends Serializable {
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 n-gram:
     * fully relational (explode → equi-join on gram → group) — the
     * shape that survives scale because the join key is the gram, with
-    * a frequency cap to drop degenerate stop-grams.
+    * a frequency cap to drop degenerate stop-grams. Set sizes are
+    * computed over the SAME capped gram universe as the intersection,
+    * so identical documents always score 1.0 even when they contain
+    * capped grams.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -308,10 +323,10 @@ object Dedup extends Serializable {
     val shU = F.udf((t: String) => shingles(t, n))
     val grams = df
       .select(F.col(idCol).as("id"), F.explode(shU(F.col(textCol))).as("g"))
-    val sizes = grams.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
     val filtered = grams.join(
       grams.groupBy("g").agg(F.count(F.lit(1)).as("gf")).filter(F.col("gf") <= maxGramFreq),
       Seq("g"))
+    val sizes = filtered.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
     val pairs = filtered.select(F.col("g"), F.col("id").as("id_a"))
       .join(filtered.select(F.col("g"), F.col("id").as("id_b")), Seq("g"))
       .filter(F.col("id_a") < F.col("id_b"))

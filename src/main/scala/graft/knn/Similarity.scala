@@ -80,10 +80,7 @@ object Similarity extends Serializable {
     * RNG state, identical on every executor).
     */
   @inline private def planeComponent(bit: Int, dim: Int): Double = {
-    var x = (bit.toLong << 32 | dim.toLong) + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^= (x >>> 31)
+    val x = graft.util.Hash.mix(bit.toLong << 32 | dim.toLong)
     // map to [-1, 1)
     (x >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
   }

@@ -135,12 +135,7 @@ object NGramLM extends Serializable {
     out.toArray
   }
 
-  @inline def mix(x0: Long): Long = { // splitmix64 finalizer
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  @inline def mix(x: Long): Long = graft.util.Hash.mix(x)
 
   @inline def hashWindow(tokens: Array[Long], from: Int, to: Int): Long = {
     var h = 0x2545f4914f6cdd1dL

@@ -41,12 +41,7 @@ object Multimodal {
   object FakeCodec extends Serializable {
     val featureDim = 16
 
-    @inline private def mix(x0: Long): Long = {
-      var x = x0 + 0x9e3779b97f4a7c15L
-      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-      x ^ (x >>> 31)
-    }
+    @inline private def mix(x: Long): Long = graft.util.Hash.mix(x)
 
     def hashBytes(b: Array[Byte]): Long = {
       var h = 0xcbf29ce484222325L

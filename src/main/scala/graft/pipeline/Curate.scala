@@ -94,17 +94,22 @@ object Curate {
     val scrubU = Scrubber.scrubUdf
 
     val text = F.col("text")
-    val wc = QualityRules.wordCountCol(text)
+    // custom codegen expressions whose whitespace/symbol semantics are
+    // bit-identical to CurateCore's (Character.isWhitespace /
+    // isLetterOrDigit) — the generic built-ins (trim strips only
+    // spaces, \s is ASCII-only) diverge on tab/newline-only and
+    // unicode-whitespace rows
+    val wc = graft.functions.TextMetrics.word_count(text)
 
     // cheap scalar rules — pure codegen'd column expressions, evaluated
     // in the fixed QualityRules.ruleOrder (drop_reason = FIRST failure)
     val cheapDrop: Column =
-      F.when(text.isNull || F.length(F.trim(text)) === 0, "empty")
+      F.when(text.isNull || wc === 0, "empty")
         .when(wc < cfg.minWords, "too_short")
         .when(wc > cfg.maxWords || F.length(text) > cfg.maxChars, "too_long")
         .when(wc >= cfg.repMinWords &&
           QualityRules.distinctRatioCol(text) < cfg.minDistinctRatio, "repetition")
-        .when(QualityRules.symbolRatioCol(text) > cfg.maxSymbolRatio, "symbol_ratio")
+        .when(graft.functions.TextMetrics.symbol_ratio(text) > cfg.maxSymbolRatio, "symbol_ratio")
         .when(QualityRules.boilerplateCol(text), "boilerplate")
 
     val withLang = turns

@@ -102,23 +102,18 @@ final class CurateCore(
     true
   }
 
-  /** distinct lowercased whitespace-token ratio — matches
-    * QualityRules.distinctRatioCol (split lower trim on \s+).
+  /** distinct lowercased whitespace-token ratio — EXACTLY matches
+    * QualityRules.distinctRatioCol (split(lower(trim(text)), "\\s+")),
+    * regex split included, so fused and unfused pipelines agree on
+    * every input.
     */
   private def distinctRatio(text: String, wc: Int): Double = {
+    val words = text.trim.toLowerCase.split("\\s+")
+    var n = 0
     val set = new java.util.HashSet[String](wc * 2)
     var i = 0
-    val len = text.length
-    var start = -1
-    var n = 0
-    while (i <= len) {
-      val ws = i == len || Character.isWhitespace(text.charAt(i))
-      if (!ws && start < 0) start = i
-      else if (ws && start >= 0) {
-        set.add(text.substring(start, i).toLowerCase)
-        n += 1
-        start = -1
-      }
+    while (i < words.length) {
+      if (words(i).nonEmpty) { set.add(words(i)); n += 1 }
       i += 1
     }
     if (n == 0) 1.0 else set.size.toDouble / n

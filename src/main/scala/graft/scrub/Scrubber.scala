@@ -111,12 +111,19 @@ object Scrubber extends Serializable {
     while (i < compiled.length) {
       val (name, p) = compiled(i)
       if (guard(name, t)) {
+        // single pass: count while replacing (vs count-scan + replaceAll)
         val m = p.matcher(t)
         var n = 0
-        while (m.find()) n += 1
+        var sb: java.lang.StringBuilder = null
+        while (m.find()) {
+          if (n == 0) sb = new java.lang.StringBuilder(t.length)
+          n += 1
+          m.appendReplacement(sb, "")
+        }
         if (n > 0) {
+          m.appendTail(sb)
           hits += name -> n
-          t = p.matcher(t).replaceAll("")
+          t = sb.toString
         }
       }
       i += 1

@@ -218,9 +218,21 @@ object Transcripts extends Serializable {
     }
   }
 
-  def labels(spark: SparkSession, nConvs: Long, seed: Long = 42L): Dataset[TurnLabel] = {
+  /** Label sidecar — MUST be called with the same skew parameters as
+    * the matching `dataset(...)` call or the join keys won't line up.
+    */
+  def labels(
+      spark: SparkSession,
+      nConvs: Long,
+      seed: Long = 42L,
+      skew: Boolean = false,
+      skewTurns: Int = 100000
+  ): Dataset[TurnLabel] = {
     import spark.implicits._
-    spark.range(0, nConvs).flatMap(c => conversation(seed, c).map(_._2))
+    spark.range(0, nConvs).flatMap { c =>
+      val st = if (skew && c == 0L) skewTurns else 0
+      conversation(seed, c, st).map(_._2)
+    }
   }
 
   /** Labeled clean sentences for training langid + the n-gram LM —
@@ -235,12 +247,7 @@ object Transcripts extends Serializable {
   }
 }
 
-/** Tiny standalone mixer so synth doesn't depend on the LM package. */
+/** Seed mixer — delegates to the single shared definition. */
 private[synth] object NGramHash {
-  @inline def mix(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  @inline def mix(x: Long): Long = graft.util.Hash.mix(x)
 }

@@ -82,10 +82,13 @@ object TableIO {
     * `basePath` keeps the partition column in the schema, and a
     * partition filter prunes directories, never touching other files).
     */
-  def read(spark: SparkSession, base: String): DataFrame =
+  def read(spark: SparkSession, base: String): DataFrame = {
+    val parts = donePartitions(base).toSeq.sorted
+    require(parts.nonEmpty,
+      s"no committed partitions under $base (manifest empty — run the job first)")
     spark.read.option("basePath", base)
-      .parquet(donePartitions(base).toSeq.sorted
-        .map(p => partitionDir(base, p).toString): _*)
+      .parquet(parts.map(p => partitionDir(base, p).toString): _*)
+  }
 
   def readPartition(spark: SparkSession, base: String, partId: Int): DataFrame =
     spark.read.parquet(partitionDir(base, partId).toString)
