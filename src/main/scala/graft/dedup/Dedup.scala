@@ -297,9 +297,11 @@ object Dedup extends Serializable {
     val r = banded.select(F.col("band"), F.col("bh"), F.col("rep").as("id_b"), F.col("sig").as("sig_b"))
     val inter = l.join(r, Seq("band", "bh"))
       .filter(F.col("id_a") < F.col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      // hamming filter BEFORE the dedup shuffle: far pairs (the vast
+      // majority of band collisions) never reach the exchange
       .withColumn("hamming", hamU(F.col("sig_a"), F.col("sig_b")))
       .filter(F.col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
     intra.unionByName(inter)
   }

@@ -92,6 +92,32 @@ class ReviewRegressionSpec extends SparkTestBase {
     }
   }
 
+  test("fuzz: fused == unfused on 400 adversarial strings (unicode ws, CJK, emoji, PII, punct)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val r = new java.util.SplittableRandom(4242L)
+    val atoms = Array(
+      "the", "data", "focus on", "he are", "there is many", "Cookie Policy",
+      "我们", "数据", "naïve", "Schrödinger", "🙂", "…", "!!!", "???", "....",
+      " ", " ", "\t", "\n", "a@b.cc", "https://x.io/y",
+      "+1 555 123 4567", "sk-0123456789abcdefghijklmn", "frak", "x" * 50,
+      "word", "includes", "Subscribe to our newsletter", "", " ", "123")
+    val texts = (0 until 400).map { _ =>
+      val n = r.nextInt(24)
+      (0 until n).map(_ => atoms(r.nextInt(atoms.length)))
+        .mkString(if (r.nextBoolean()) " " else "")
+    } :+ "  " :+ "  " :+ "。。。"
+    val df = texts.zipWithIndex.map { case (t, i) =>
+      graft.model.Turn(s"f$i", 0, "user", t, "", new Timestamp(0L))
+    }.toDF()
+    def norm(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("ppl", when(isnan(col("ppl")), -1.0).otherwise(round(col("ppl"), 9)))
+      .select("conv_id", "lang", "lang_conf", "ppl", "rule_hits", "keep",
+        "drop_reason", "scrubbed_text", "scrub_hits")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.toString).toSeq
+    assert(norm(Curate.curateDf(spark, df)) == norm(Curate.curateDfUnfused(spark, df)))
+  }
+
   test("labels() honors skew parameters (sidecar row count matches dataset)") {
     val d = Transcripts.dataset(spark, 5L, skew = true, skewTurns = 500).count()
     val l = Transcripts.labels(spark, 5L, skew = true, skewTurns = 500).count()
