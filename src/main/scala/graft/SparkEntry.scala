@@ -515,10 +515,10 @@ object SparkEntry {
           "FROM documents ORDER BY doc_id"),
       "quality_score" ->
         (s"SELECT doc_id, round(" +
-          "least(len(string_split(lower(trim(text)), ' ')) / 50.0, 1.0) * 0.3 + " +
+          "least(len(regexp_split_to_array(lower(trim(text)), '\\s+')) / 50.0, 1.0) * 0.3 + " +
           "greatest(0.0, 1.0 - (length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) * 1.0 / greatest(length(text), 1)) * 3.0) * 0.3 + " +
-          s"least((len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN $stopIn)) * 1.0 / greatest(len(string_split(lower(trim(text)), ' ')), 1)) * 4.0, 1.0) * 0.2 + " +
-          "(CASE WHEN (length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / greatest(len(string_split(lower(trim(text)), ' ')), 1)) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.2" +
+          s"least((len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x IN $stopIn)) * 1.0 / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1)) * 4.0, 1.0) * 0.2 + " +
+          "(CASE WHEN (length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1)) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.2" +
           ", 6) AS score FROM documents ORDER BY doc_id"),
       "q12_knn" ->
         ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) " +
