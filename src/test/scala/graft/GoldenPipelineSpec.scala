@@ -136,6 +136,24 @@ class GoldenPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("metrics row tallies == per-turn oracle tallies (A2 contract)") {
+    val m = Curate.metrics(Curate.curateDf(spark,
+      Transcripts.dataset(spark, 60L).toDF())).head()
+    val oracle = (0L until 60L)
+      .flatMap(c => Transcripts.conversation(42L, c).map(_._1))
+      .map(t => GoldenOracle.expected(t.text))
+    assert(m.getAs[Long]("turns_seen") == oracle.size)
+    assert(m.getAs[Long]("turns_kept") == oracle.count(_.keep))
+    val byRule = m.getAs[Map[String, Long]]("dropped_by_rule")
+    oracle.filter(!_.keep).groupBy(_.dropReason).foreach { case (r, xs) =>
+      assert(byRule.getOrElse(r, 0L) == xs.size, s"rule $r")
+    }
+    val scrubTot = m.getAs[Map[String, Long]]("scrub_hit_counts")
+    val oracleScrub = oracle.flatMap(_.scrubHits.toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2.toLong).sum }
+    assert(scrubTot == oracleScrub)
+  }
+
   test("all drop-reason labels occur in the corpus (rule coverage)") {
     val reasons = engineRows.values
       .flatMap(r => Option(r.getAs[String]("drop_reason"))).toSet
