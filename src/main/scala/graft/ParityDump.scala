@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.grammar.Cyk
+import graft.rules.GrammarRules
+import graft.synth.Transcripts
+
+/** Reference-parity dump (no Spark needed): evaluates this engine's
+  * grammar-rule hits (regex subset, POS excluded — the reference's POS
+  * path is NLTK-only) and CYK parses over a fixed corpus, as JSON.
+  * `scripts/reference_parity.py` runs the REFERENCE's own Python
+  * implementation (cfg_checker._apply_basic_rules/_apply_cfg_rules/
+  * _deduplicate_errors; cfg_generator.parse_sentence_cyk) on the same
+  * corpus and asserts exact agreement — true reference-results parity,
+  * not a self-defined oracle.
+  */
+object ParityDump {
+
+  val texts: Seq[String] = {
+    val canonical =
+      "Natural language processing is a field of artificial intelligence. " +
+        "It focus on the interaction between computers and humans. " +
+        "NLP helps machine to understand human language. " +
+        "The field includes machine translation and sentiment analysis. " +
+        "There is many challenges in this field."
+    val traps = Seq(
+      "he are running to the store.",
+      "He ARE running to the store.",
+      "they is happy and we was there yesterday.",
+      "I are certain about this.",
+      "it was they who left early.",
+      "the result is Amazing stuff indeed.",
+      "the result is amazing stuff indeed.",
+      "we went to school quickly today.",
+      "We went to School quickly today.",
+      "you don't can't do that thing.",
+      "this looks unfinished and lowercase",
+      "This Is All Capitalized Words Here",
+      "There is many reasons. And it focus on results. NLP includes parsing.",
+      "she are here. he are there. it are everywhere.",
+      "the machine to understand text includes many parts.",
+      "was we there? was you there? was they there?",
+      "focus on the plan. Focus On the goal. FOCUS ON it.",
+      "includes Capitalized does not fire lookahead",
+      "includes lowercase does fire the lookahead",
+      "nothing wrong with this perfectly ordinary sentence.",
+      "", "   ", "a", "是的 我们 都 同意。"
+    )
+    val synth = Transcripts.trainingCorpus(seed = 99L, perLang = 8).map(_._1)
+    (canonical +: traps) ++ synth
+  }
+
+  val sentences: Seq[String] = Seq(
+    "the dog sees the cat",
+    "the dog runs",
+    "the teacher is good",
+    "he is happy",
+    "the zorblax sees the cat",
+    "the zorblax quickly",
+    "the the the",
+    "dog",
+    "the big dog eats the small cat",
+    "a woman gives the child the book",
+    "I see the dog and the cat",
+    "the dog quickly eats food",
+    "every student knows the answer",
+    "The Dog Sees The Cat",
+    "the dog, sees the cat!",
+    "colorless green ideas sleep furiously",
+    "the computer runs the program on the table",
+    "she eats",
+    "we are happy",
+    "this is a very beautiful house"
+  )
+
+  private def jstr(s: String) =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "/tmp/parity_scala.json"
+    val textsJson = texts.map { t =>
+      val hits = GrammarRules.ruleHits(t, includePos = false).map { h =>
+        s"""{"rule_id": ${jstr(h.rule_id)}, "start": ${h.start}, "end": ${h.end}, "snippet": ${jstr(h.snippet)}, "confidence": ${h.confidence}}"""
+      }.mkString("[", ", ", "]")
+      s"""{"text": ${jstr(t)}, "hits": $hits}"""
+    }.mkString("[", ",\n", "]")
+    val sentJson = sentences.map { s =>
+      val r = Cyk.parseSentence(s)
+      s"""{"sentence": ${jstr(s)}, "valid": ${r.valid}, "reason": ${jstr(r.reason)}}"""
+    }.mkString("[", ",\n", "]")
+    val json = s"""{"texts": $textsJson, "sentences": $sentJson}"""
+    Files.write(Paths.get(out), json.getBytes(StandardCharsets.UTF_8))
+    println(s"wrote $out (${texts.size} texts, ${sentences.size} sentences)")
+  }
+}

@@ -111,7 +111,12 @@ object GrammarRules extends Serializable {
     * port of cfg_checker.py:317-343) and sorted by start position
     * (cfg_checker.py:312). Null-safe.
     */
-  def ruleHits(text: String): Seq[RuleHit] = {
+  /** @param includePos include the POS-bigram rule (G3). The
+    *   reference's POS path is NLTK-based; pass false when comparing
+    *   against the reference's regex-only subset (reference-parity
+    *   harness, scripts/reference_parity.py).
+    */
+  def ruleHits(text: String, includePos: Boolean = true): Seq[RuleHit] = {
     if (text == null || text.isEmpty) return Nil
     val lower = text.toLowerCase
     val all = new ArrayBuffer[RuleHit](8)
@@ -132,7 +137,7 @@ object GrammarRules extends Serializable {
       }
       i += 1
     }
-    if (lower.contains("are")) posHits(text, all)
+    if (includePos && lower.contains("are")) posHits(text, all)
     dedup(all)
   }
 
