@@ -63,8 +63,25 @@ grammar_pkg = types.ModuleType('src.grammar')
 grammar_pkg.__path__ = ['/root/reference/src/grammar']
 sys.modules.setdefault('src.grammar', grammar_pkg)
 
+req = _stub('requests', Session=lambda: types.SimpleNamespace(
+    headers=types.SimpleNamespace(update=lambda *a, **k: None)))
+req.__path__ = []  # mark as package so submodule stubs resolve
+_stub('requests.adapters', HTTPAdapter=object)
+_stub('urllib3', util=None)
+sys.modules['urllib3'].__path__ = []
+_stub('urllib3.util', retry=None)
+sys.modules['urllib3.util'].__path__ = []
+_stub('urllib3.util.retry', Retry=object)
+_stub('bs4', BeautifulSoup=None, Comment=None)
+_stub('src.scrapers')  # package marker
+sys.modules['src.scrapers'].__path__ = ['/root/reference/src/scrapers']
+_stub('src.utils')
+sys.modules['src.utils'].__path__ = ['/root/reference/src/utils']
+
 cg = importlib.import_module('src.grammar.cfg_generator')
 cc = importlib.import_module('src.grammar.cfg_checker')
+ws_mod = importlib.import_module('src.scrapers.web_scraper')
+tc_mod = importlib.import_module('src.utils.text_chunker')
 
 # reference checker, basic rules only (no API / no NLTK paths)
 checker = cc.CFGGrammarChecker(use_api=False)
@@ -107,12 +124,33 @@ def main():
             print(f"CYK MISMATCH on {s!r}: reference=({valid}, {reason!r}) "
                   f"engine=({entry['valid']}, {entry['reason']!r})")
 
-    n = len(dump['texts']) + len(dump['sentences'])
+    # _clean_text parity (web_scraper.py:67-103) — self-less call, the
+    # method touches only `re`
+    scraper = ws_mod.WebScraper.__new__(ws_mod.WebScraper)
+    for entry in dump.get('clean', []):
+        exp = ws_mod.WebScraper._clean_text(scraper, entry['text'])
+        if entry['cleaned'] != exp:
+            failures += 1
+            print(f"CLEAN MISMATCH on {entry['text'][:50]!r}:\n"
+                  f"  reference: {exp!r}\n  engine:    {entry['cleaned']!r}")
+
+    # chunk_text parity (text_chunker.py:22-58)
+    for entry in dump.get('chunk', []):
+        chunker = tc_mod.TextChunker(chunk_size=entry['size'], overlap=entry['overlap'])
+        exp = chunker.chunk_text(entry['text'])
+        if entry['chunks'] != exp:
+            failures += 1
+            print(f"CHUNK MISMATCH on size={entry['size']} ov={entry['overlap']} "
+                  f"{entry['text'][:40]!r}:\n  reference: {exp}\n  engine:    {entry['chunks']}")
+
+    n = (len(dump['texts']) + len(dump['sentences']) +
+         len(dump.get('clean', [])) + len(dump.get('chunk', [])))
     if failures:
         print(f"PARITY FAILED: {failures}/{n} mismatches")
         sys.exit(1)
-    print(f"PARITY OK: {len(dump['texts'])} texts + {len(dump['sentences'])} sentences "
-          f"match the reference implementation exactly")
+    print(f"PARITY OK: {len(dump['texts'])} rule-texts + {len(dump['sentences'])} CYK "
+          f"+ {len(dump.get('clean', []))} clean + {len(dump.get('chunk', []))} chunk "
+          f"cases match the reference implementation exactly")
 
 if __name__ == '__main__':
     main()

@@ -86,6 +86,28 @@ object ParityDump {
       case c => c.toString
     } + "\""
 
+  /** Messy inputs for _clean_text / chunk_text parity (multiline,
+    * noise lines, PII, repeated punctuation, long sentence streams).
+    */
+  val cleanInputs: Seq[String] = Seq(
+    "Hello   world.\n\nCookie Policy: accept all\nreal content stays here.",
+    "Read this!! Or this??? Or even this.....",
+    "mail me at a@b.co or visit https://x.io/page?z=1 now",
+    "Subscribe to our weekly newsletter today\nMore text after.",
+    "Follow us on everything\tand ever after",
+    "Privacy Policy stuff Terms of Service stuff Share this stuff",
+    "  leading and trailing   \n spaces  ",
+    "no noise at all, just words."
+  ) ++ texts.take(10)
+
+  val chunkInputs: Seq[(String, Int, Int)] = {
+    val long1 = (1 to 40).map(i => s"Sentence number $i has several words in it.").mkString(" ")
+    val long2 = (1 to 25).map(i => s"Short one $i!").mkString(" ") + " trailing tail without punct"
+    val long3 = ("x" * 120) + ". " + ("y" * 80) + "! " + ("z" * 200) + "?"
+    Seq((long1, 120, 30), (long1, 500, 50), (long2, 80, 20), (long3, 100, 25),
+      ("tiny text.", 500, 50), ("", 500, 50))
+  }
+
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/parity_scala.json"
     val textsJson = texts.map { t =>
@@ -94,12 +116,21 @@ object ParityDump {
       }.mkString("[", ", ", "]")
       s"""{"text": ${jstr(t)}, "hits": $hits}"""
     }.mkString("[", ",\n", "]")
+    val cleanJson = cleanInputs.map { t =>
+      s"""{"text": ${jstr(t)}, "cleaned": ${jstr(graft.scrub.Scrubber.cleanTextReference(t))}}"""
+    }.mkString("[", ",\n", "]")
+    val chunkJson = chunkInputs.map { case (t, size, ov) =>
+      val cs = graft.chunk.Chunker.chunkText(t, size, ov).map(jstr).mkString("[", ", ", "]")
+      s"""{"text": ${jstr(t)}, "size": $size, "overlap": $ov, "chunks": $cs}"""
+    }.mkString("[", ",\n", "]")
     val sentJson = sentences.map { s =>
       val r = Cyk.parseSentence(s)
       s"""{"sentence": ${jstr(s)}, "valid": ${r.valid}, "reason": ${jstr(r.reason)}}"""
     }.mkString("[", ",\n", "]")
-    val json = s"""{"texts": $textsJson, "sentences": $sentJson}"""
+    val json =
+      s"""{"texts": $textsJson, "sentences": $sentJson, "clean": $cleanJson, "chunk": $chunkJson}"""
     Files.write(Paths.get(out), json.getBytes(StandardCharsets.UTF_8))
-    println(s"wrote $out (${texts.size} texts, ${sentences.size} sentences)")
+    println(s"wrote $out (${texts.size} texts, ${sentences.size} sentences, " +
+      s"${cleanInputs.size} clean, ${chunkInputs.size} chunk)")
   }
 }

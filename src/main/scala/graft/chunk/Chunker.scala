@@ -10,48 +10,75 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Chunker extends Serializable {
 
-  /** Sentence split with the regex strategy (text_chunker.py:60-85
-    * fallback; cfg_generator.py:332): split on [.!?]+ keeping ≥1-word
-    * pieces, delimiters dropped.
+  /** Sentence split with the regex strategy (cfg_generator.py:332):
+    * split on [.!?]+ keeping ≥1-word pieces, delimiters dropped.
     */
   def splitSentences(text: String): Array[String] =
     text.split("[.!?]+").map(_.trim).filter(_.nonEmpty)
 
-  /** Overlapping chunker (C2) — greedy sentence packing to `chunkSize`
-    * chars with a `overlap`-char tail carried from the previous chunk,
-    * word-boundary aligned (text_chunker.py:22-58 + _get_overlap_text
-    * :87-107; config 500/50: config.yaml:14, smart_corrector.py:40-43).
+  /** Sentence split, EXACT port of TextChunker._split_into_sentences
+    * (text_chunker.py:60-85) including its quirky "re-add punctuation"
+    * pass: each delimiter-split piece is replaced by the FIRST
+    * punctuation-carrying original part that CONTAINS it as a
+    * substring (Python for/else semantics) — faithful, parity-checked
+    * against the reference implementation.
     */
-  def chunkText(text: String, chunkSize: Int = 500, overlap: Int = 50): Seq[String] = {
-    if (text == null || text.trim.isEmpty) return Nil
-    val sentences = splitSentences(text).map(_ + ".")
-    if (sentences.isEmpty) return Seq(text.trim)
-    val chunks = new ArrayBuffer[String]()
-    var current = new StringBuilder
-    sentences.foreach { s =>
-      if (current.nonEmpty && current.length + 1 + s.length > chunkSize) {
-        chunks += current.toString
-        val tail = overlapTail(current.toString, overlap)
-        current = new StringBuilder(tail)
-        if (tail.nonEmpty) current.append(' ')
-        current.append(s)
-      } else {
-        if (current.nonEmpty) current.append(' ')
-        current.append(s)
+  def splitSentencesReference(text: String): Seq[String] = {
+    val pieces = java.util.regex.Pattern.compile("[.!?]+(?:\\s+|$)")
+      .split(text, -1).toSeq.map(_.trim).filter(_.nonEmpty)
+    val originalParts = {
+      val m = java.util.regex.Pattern.compile("[^.!?]*[.!?]+").matcher(text)
+      val out = new ArrayBuffer[String]()
+      while (m.find()) out += m.group()
+      out.toSeq
+    }
+    pieces.map { sentence =>
+      originalParts.find(_.contains(sentence)) match {
+        case Some(part) => part.trim
+        case None => sentence
       }
     }
-    if (current.nonEmpty) chunks += current.toString
+  }
+
+  /** Overlapping chunker (C2) — EXACT port of TextChunker.chunk_text
+    * (text_chunker.py:22-58; config 500/50: config.yaml:14,
+    * smart_corrector.py:40-43): greedy sentence packing with an
+    * overlap tail carried from the previous chunk. Parity-checked
+    * against the reference implementation (scripts/reference_parity.py).
+    */
+  def chunkText(text: String, chunkSize: Int = 500, overlap: Int = 50): Seq[String] = {
+    if (text == null || text.isEmpty) return Nil
+    if (text.length <= chunkSize) return Seq(text)
+    val sentences = splitSentencesReference(text)
+    val chunks = new ArrayBuffer[String]()
+    var current = ""
+    sentences.foreach { sentence =>
+      if (current.length + sentence.length > chunkSize && current.nonEmpty) {
+        chunks += current.trim
+        val tail = overlapTail(current, overlap)
+        current = if (tail.nonEmpty) tail + " " + sentence else sentence
+      } else {
+        current = if (current.nonEmpty) current + " " + sentence else sentence
+      }
+    }
+    if (current.trim.nonEmpty) chunks += current.trim
     chunks.toSeq
   }
 
-  /** Last ≤`overlap` chars of `chunk`, advanced to the next word
-    * boundary (text_chunker.py:87-107).
+  /** EXACT port of TextChunker._get_overlap_text (text_chunker.py:87-107):
+    * last ≤`overlap` chars, advanced past a sentence ending if one is
+    * present, else past the first (partial) word.
     */
-  def overlapTail(chunk: String, overlap: Int): String = {
-    if (overlap <= 0 || chunk.length <= overlap) return if (overlap <= 0) "" else chunk
-    val tail = chunk.substring(chunk.length - overlap)
-    val sp = tail.indexOf(' ')
-    if (sp >= 0) tail.substring(sp + 1) else tail
+  def overlapTail(text: String, overlap: Int): String = {
+    if (text.length <= overlap) return text
+    val tail = text.substring(text.length - overlap)
+    val m = java.util.regex.Pattern.compile("[.!?]\\s+").matcher(tail)
+    if (m.find()) tail.substring(m.end())
+    else {
+      // python str.split() then ' '.join(words[1:]) when >1 word
+      val pyWords = tail.trim.split("\\s+").filter(_.nonEmpty)
+      if (pyWords.length > 1) pyWords.drop(1).mkString(" ") else tail
+    }
   }
 
   /** Non-overlapping simple chunker (C3, cfg_checker.py:390-410). */

@@ -156,6 +156,35 @@ object Scrubber extends Serializable {
     F.trim(F.regexp_replace(t, "\\s+", " "))
   }
 
+  /** EXACT port of the reference's full `_clean_text`
+    * (web_scraper.py:67-103) INCLUDING noise-pattern removal (the
+    * pipeline's scrub keeps boilerplate as a detection-only rule per
+    * SURVEY §2.2 P2; this faithful variant mutates, for S3-style
+    * cleaning and the reference-parity harness). Order: ws-normalize →
+    * 6 noise patterns (IGNORECASE, `.*?(?=\n|$)` tails) → URL → email
+    * → punctuation collapse → ws-normalize.
+    */
+  private val noisePatterns: Array[Pattern] = Array(
+    "Cookie\\s+Policy.*?(?=\\n|$)",
+    "Privacy\\s+Policy.*?(?=\\n|$)",
+    "Terms\\s+of\\s+Service.*?(?=\\n|$)",
+    "Subscribe\\s+to.*?newsletter.*?(?=\\n|$)",
+    "Follow\\s+us\\s+on.*?(?=\\n|$)",
+    "Share\\s+this.*?(?=\\n|$)"
+  ).map(p => Pattern.compile(p, Pattern.CASE_INSENSITIVE))
+
+  def cleanTextReference(text: String): String = {
+    if (text == null || text.isEmpty) return ""
+    var t = wsP.matcher(text).replaceAll(" ").trim
+    noisePatterns.foreach(p => t = p.matcher(t).replaceAll(""))
+    t = Pattern.compile(URL_RE).matcher(t).replaceAll("")
+    t = Pattern.compile(EMAIL_RE).matcher(t).replaceAll("")
+    t = dots3P.matcher(t).replaceAll("...")
+    t = bangsP.matcher(t).replaceAll("!")
+    t = qmarksP.matcher(t).replaceAll("?")
+    wsP.matcher(t).replaceAll(" ").trim
+  }
+
   /** The same reference-subset scrub as ANSI SQL over a column name, for
     * DuckDB (regexp_replace needs the 'g' flag there; Spark replaces all
     * matches by default).
