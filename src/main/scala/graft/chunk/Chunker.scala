@@ -24,9 +24,14 @@ object Chunker extends Serializable {
     * against the reference implementation.
     */
   def splitSentencesReference(text: String): Seq[String] = {
+    // fast path: no sentence punctuation ⇒ one piece, no parts (the
+    // reference's findall pattern backtracks O(n²) on punctuation-free
+    // text; result is identical)
+    val hasPunct = text.indexOf('.') >= 0 || text.indexOf('!') >= 0 ||
+      text.indexOf('?') >= 0
     val pieces = java.util.regex.Pattern.compile("[.!?]+(?:\\s+|$)")
       .split(text, -1).toSeq.map(_.trim).filter(_.nonEmpty)
-    val originalParts = {
+    val originalParts = if (!hasPunct) Seq.empty[String] else {
       val m = java.util.regex.Pattern.compile("[^.!?]*[.!?]+").matcher(text)
       val out = new ArrayBuffer[String]()
       while (m.find()) out += m.group()
