@@ -22,7 +22,7 @@ object ScalingBench {
     * (/proc/stat), so single-shot wall times are unreliable; the MIN
     * over repetitions approximates the un-stolen cost at each level.
     */
-  def runAt(cpus: Int, inputPath: String, reps: Int = 3): (Long, Double) = {
+  def runAt(cpus: Int, inputPath: String, reps: Int = 5): (Long, Double) = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
