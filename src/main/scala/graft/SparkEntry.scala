@@ -47,6 +47,12 @@ object SparkEntry {
   // computing in double precision; 1e-12-scale engine noise only)
   private def r6(c: org.apache.spark.sql.Column) = F.round(c, 6)
 
+  // deterministic noise planted into the (clean) documents corpus so
+  // the scrub-diff / grammar-count demonstration queries are
+  // non-vacuous; mirrored verbatim in the oracle SQL
+  private val plantedPii = " contact bob@example.com or https://ex.co/a now !!"
+  private val plantedErrors = " he are happy and they is here. it focus on the data."
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core over driver tables (DuckDB-oracled) ----
     "q1_agg" -> ((s, dir) => {
@@ -232,10 +238,36 @@ object SparkEntry {
           "scrubbed_text")
         .orderBy("conv_id", "turn_idx")
     }),
-    "curate_metrics" -> ((s, dir) => Curate.metrics(curated(s, dir))),
+    "curate_metrics" -> ((s, dir) =>
+      // map columns serialized to JSON (keys pre-sorted via
+      // map_from_entries(sort_array(..)) so the string is canonical) —
+      // the driver's pandas compare cannot sort raw map/array cells
+      Curate.metrics(curated(s, dir))
+        .withColumn("dropped_by_rule", F.to_json(F.col("dropped_by_rule")))
+        .withColumn("scrub_hit_counts", F.to_json(F.col("scrub_hit_counts")))),
     "conv_reassemble" -> ((s, dir) => {
       // R3: ordered per-conv reassembly (two-phase safe: collect_list
-      // then array_sort by turn_idx — order-insensitive upstream)
+      // then array_sort by turn_idx — order-insensitive upstream).
+      // Driver-oracled form: turns derived deterministically from the
+      // documents table (conv = source, turn order = doc_id), scrub =
+      // the SQL-expressible reference subset. The synth/skew variant is
+      // conv_reassemble_twophase.
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      tbl(s, dir, "documents")
+        .select(F.col("source").as("conv_id"),
+          F.row_number().over(w).as("turn_idx"),
+          Scrubber.scrubColReference(F.col("text")).as("scrubbed"))
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).as("n_turns"),
+          F.concat_ws(" ",
+            F.transform(
+              F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("scrubbed")))),
+              x => x.getField("scrubbed"))).as("reassembled"))
+        .orderBy("conv_id")
+    }),
+    "conv_reassemble_curated" -> ((s, dir) => {
+      // R3 over the real curated pipeline output (langid/ppl gated —
+      // not SQL-expressible; rows-only check)
       curated(s, dir)
         .filter(F.col("keep"))
         .groupBy("conv_id")
@@ -260,31 +292,63 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
     "change_detect" -> ((s, dir) => {
-      // R4: word-level diff original vs scrubbed, first 5 changes
-      val cur = curated(s, dir)
-      val a = F.split(F.col("text"), "\\s+")
-      val b = F.split(F.col("scrubbed_text"), "\\s+")
-      cur.filter(F.col("scrubbed_text") =!= F.col("text"))
-        .select(F.col("conv_id"), F.col("turn_idx"),
-          F.slice(F.filter(
+      // R4: word-level diff original vs scrubbed, first 5 changes,
+      // pipe-joined (driver-comparable). Driver-oracled over documents
+      // + the SQL-expressible reference scrub; the documents corpus is
+      // PII-free, so deterministic PII is planted on doc_id % 5 == 0
+      // (identically in the oracle SQL) to make the diff non-vacuous.
+      val planted = F.when(F.col("doc_id") % 5 === 0,
+        F.concat(F.col("text"), F.lit(plantedPii))).otherwise(F.col("text"))
+      val a = F.split(F.col("orig"), "\\s+")
+      val b = F.split(F.col("scrubbed"), "\\s+")
+      tbl(s, dir, "documents")
+        .withColumn("orig", planted)
+        .withColumn("scrubbed", Scrubber.scrubColReference(F.col("orig")))
+        .filter(F.col("scrubbed") =!= F.col("orig"))
+        .select(F.col("doc_id"),
+          F.array_join(F.slice(F.filter(
             F.zip_with(a, b, (x, y) => F.when(x =!= y, F.concat_ws("->", x, y))),
-            x => x.isNotNull), 1, 5).as("changes"))
-        .orderBy("conv_id", "turn_idx")
+            x => x.isNotNull), 1, 5), "|").as("changes"))
+        .orderBy("doc_id")
     }),
     "grammar_hits_summary" -> ((s, dir) => {
-      // G9/A3: error counts by rule + avg confidence
-      val hitsU = F.udf((t: String) => GrammarRules.ruleHits(t))
-      synthTurns(s, dir)
-        .select(F.explode(hitsU(F.col("text"))).as("h"))
+      // G9/A3: per-rule error counts + avg confidence (constant per
+      // rule), relational and driver-oracled: raw non-overlapping match
+      // counts of the RE2-safe rule subset (see GrammarRules.re2Specs;
+      // the overlap-dedup semantics of ruleHits are parity-pinned)
+      val hitArr = F.array(GrammarRules.re2Specs.map { case (id, pat, conf) =>
+        F.struct(F.lit(id).as("rule_id"),
+          F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+            .cast("long").as("n"),
+          F.lit(conf).as("conf"))
+      }: _*)
+      // the documents corpus is grammar-clean — plant deterministic
+      // errors on doc_id % 3 == 0 (mirrored in the oracle SQL)
+      tbl(s, dir, "documents")
+        .withColumn("text", F.when(F.col("doc_id") % 3 === 0,
+          F.concat(F.col("text"), F.lit(plantedErrors))).otherwise(F.col("text")))
+        .select(F.explode(hitArr).as("h"))
         .groupBy(F.col("h.rule_id").as("rule_id"))
-        .agg(F.count(F.lit(1)).as("n"),
-          F.round(F.avg(F.col("h.confidence")), 6).as("avg_conf"))
+        .agg(F.sum("h.n").as("n"), F.max("h.conf").as("avg_conf"))
+        .filter(F.col("n") > 0)
         .orderBy("rule_id")
     }),
     "dynamic_grammar" -> ((s, dir) => {
-      // A6: learned (lhs, rhs, frequency) production dim table
+      // A6: learned (lhs nonterminal, rhs pattern, frequency) dim table
       graft.grammar.DynamicGrammar.learn(synthTurns(s, dir))
-        .orderBy(F.desc("frequency"), F.col("rhs"))
+        .orderBy(F.desc("frequency"), F.col("lhs"), F.col("rhs"))
+    }),
+    "perplexity_turns" -> ((s, dir) => {
+      // §2.5 standalone: stupid-backoff n-gram perplexity per turn
+      // (hashed-table broadcast model; independent plain-Scala oracle
+      // in ModelsSpec / PerplexitySpec)
+      val m = Curate.defaultModels.lm
+      val b = s.sparkContext.broadcast(m)
+      val u = F.udf((t: String) => b.value.perplexity(t))
+      synthTurns(s, dir)
+        .select(F.col("conv_id"), F.col("turn_idx"),
+          F.round(u(F.col("text")), 6).as("ppl"))
+        .orderBy("conv_id", "turn_idx")
     }),
     "cyk_parse" -> ((s, dir) => {
       // G6/G7: CYK validity over canonical + synthesized sentences
@@ -424,7 +488,8 @@ object SparkEntry {
       val extra = Seq(("spark", "N"), ("run", "N"), ("the", "DET")) // overlap on purpose
       (base ++ extra).toDF("word", "pos")
         .distinct()
-        .groupBy("word").agg(F.sort_array(F.collect_set("pos")).as("pos_tags"))
+        .groupBy("word")
+        .agg(F.array_join(F.sort_array(F.collect_set("pos")), "|").as("pos_tags"))
         .orderBy("word")
     })
   )
@@ -523,7 +588,48 @@ object SparkEntry {
       "q12_knn" ->
         ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) " +
           "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim " +
-          "FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 5")
+          "FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 5"),
+      "ann_batch_topk" ->
+        ("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id < 4), " +
+          "scored AS (SELECT q.qid, e.vec_id AS cid, " +
+          "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qemb) AS s FROM embeddings e, q), " +
+          "ranked AS (SELECT qid, cid, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rank FROM scored) " +
+          "SELECT qid, cid, round(s, 6) AS sim, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank"),
+      "conv_reassemble" ->
+        (s"WITH turns AS (SELECT source AS conv_id, " +
+          "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS turn_idx, " +
+          s"${Scrubber.scrubSqlReference("text")} AS scrubbed FROM documents) " +
+          "SELECT conv_id, count(*) AS n_turns, " +
+          "string_agg(scrubbed, ' ' ORDER BY turn_idx) AS reassembled " +
+          "FROM turns GROUP BY conv_id ORDER BY conv_id"),
+      "change_detect" ->
+        (s"WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || '$plantedPii' " +
+          "ELSE text END AS orig FROM documents), " +
+          s"s AS (SELECT doc_id, orig, ${Scrubber.scrubSqlReference("orig")} AS scrubbed FROM p), " +
+          "w AS (SELECT doc_id, regexp_split_to_array(orig, '\\s+') AS a, " +
+          "regexp_split_to_array(scrubbed, '\\s+') AS b FROM s WHERE scrubbed <> orig) " +
+          "SELECT doc_id, array_to_string(list_filter(list_transform(" +
+          "range(1, greatest(len(a), len(b)) + 1), " +
+          "i -> CASE WHEN a[i] <> b[i] THEN a[i] || '->' || b[i] END), " +
+          "x -> x IS NOT NULL)[1:5], '|') AS changes FROM w ORDER BY doc_id"),
+      "grammar_hits_summary" -> {
+        val branches = graft.rules.GrammarRules.re2Specs.map { case (id, pat, conf) =>
+          val p = pat.replace("'", "''")
+          s"SELECT '$id' AS rule_id, len(regexp_extract_all(text, '$p')) AS n, $conf AS conf FROM d"
+        }.mkString(" UNION ALL ")
+        s"WITH d AS (SELECT CASE WHEN doc_id % 3 = 0 THEN text || '$plantedErrors' " +
+          "ELSE text END AS text FROM documents) " +
+          s"SELECT rule_id, CAST(sum(n) AS BIGINT) AS n, max(conf) AS avg_conf " +
+          s"FROM ($branches) GROUP BY rule_id HAVING sum(n) > 0 ORDER BY rule_id"
+      },
+      "lexicon_merge" -> {
+        val baseVals = (Cyk.lexicon.toSeq.flatMap { case (w, ps) => ps.map(p => (w, p)) } ++
+          Seq(("spark", "N"), ("run", "N"), ("the", "DET")))
+          .map { case (w, p) => s"('$w','$p')" }.mkString(", ")
+        s"WITH t AS (SELECT DISTINCT word, pos FROM (VALUES $baseVals) AS v(word, pos)) " +
+          "SELECT word, array_to_string(list_sort(list(pos)), '|') AS pos_tags " +
+          "FROM t GROUP BY word ORDER BY word"
+      }
     )
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   * `generate_dynamic_grammar_from_text` (cfg_generator.py:700-745):
   * tag each sentence's words, slide the fixed pattern-template bank
   * (cfg_generator.py:781-808) over the POS sequence, and collect
-  * (lhs → rhs) productions; production frequency is the
+  * (nonterminal ← pattern) productions; production frequency is the
   * `DynamicGrammarRule.frequency` aggregate (SURVEY.md §2.9 A6 =
   * `groupBy(lhs, rhs).count()`).
   *
@@ -88,12 +88,17 @@ object DynamicGrammar extends Serializable {
   /** Distributed learning over a corpus: (lhs, rhs, frequency) dim
     * table — explode per-row productions, one groupBy. The result is a
     * broadcast-sized dimension (|template bank| bounds distinct rows).
+    *
+    * Column convention follows grammar terminology (and the
+    * reference's dynamic_grammar dict, cfg_generator.py:817-820):
+    * `lhs` = the produced NONTERMINAL, `rhs` = the POS pattern the
+    * production expands to (space-joined string, driver-comparable).
     */
   def learn(corpus: DataFrame, textCol: String = "text"): DataFrame = {
     val prodU = F.udf((t: String) => productions(t))
     corpus
       .select(F.explode(prodU(F.col(textCol))).as("p"))
-      .groupBy(F.col("p._1").as("lhs"), F.col("p._2").as("rhs"))
+      .groupBy(F.col("p._2").as("lhs"), F.array_join(F.col("p._1"), " ").as("rhs"))
       .agg(F.count(F.lit(1)).as("frequency"))
   }
 }

@@ -75,6 +75,32 @@ object GrammarRules extends Serializable {
     Spec("BASIC_003", "incomplete_sentence", ci("^\\s*[A-Z][^.!?]*[a-z]\\s*$"), 0.7, Array.empty)
   )
 
+  /** The RE2-compatible (rule_id, pattern, confidence) subset of the
+    * rule bank, for the DRIVER-ORACLED relational rule-count query
+    * (`grammar_hits_summary`): DuckDB's regexp engine is RE2, which has
+    * no lookahead, so BASIC_COMMON's `(?=\s+[a-z])` is rewritten as a
+    * consuming `\s+[a-z]` (same matches except pathological abutting
+    * repeats), and BASIC_003 is excluded (`$` before a trailing newline
+    * differs between Java and RE2). Raw non-overlapping match counts —
+    * the overlap-dedup semantics of [[ruleHits]] are pinned separately
+    * by the reference-parity harness (scripts/reference_parity.py).
+    */
+  val re2Specs: Seq[(String, String, Double)] = Seq(
+    ("BASIC_SUBJ_VERB", "(?i)\\b(he|she|it)\\s+are\\b", 0.8),
+    ("BASIC_SUBJ_VERB", "(?i)\\b(they|we|you)\\s+is\\b", 0.8),
+    ("BASIC_SUBJ_VERB", "(?i)\\b(I)\\s+are\\b", 0.8),
+    ("BASIC_SUBJ_VERB", "(?i)\\b(was)\\s+(they|we|you)\\b", 0.8),
+    ("BASIC_ARTICLES", "\\b(is|was)\\s+([A-Z][a-z]+)\\b", 0.6),
+    ("BASIC_ARTICLES", "\\bwent\\s+to\\s+([a-z]+)\\b", 0.6),
+    ("BASIC_COMMON", "(?i)\\bthere\\s+is\\s+many\\b", 0.7),
+    ("BASIC_COMMON", "(?i)\\bincludes\\s+[a-z]", 0.7),
+    ("BASIC_COMMON", "(?i)\\bfocus\\s+on\\b", 0.7),
+    ("BASIC_COMMON", "(?i)\\bmachine\\s+to\\s+understand\\b", 0.7),
+    ("BASIC_001", "(?i)\\b(he|she|it)\\s+are\\b", 0.9),
+    ("BASIC_002",
+      "(?i)\\b(don't|doesn't|didn't|won't|can't|couldn't|shouldn't|wouldn't)\\s+\\w*n't\\b", 0.8)
+  )
+
   private val tokenP = Pattern.compile("\\b\\w+\\b")
   private val sentEndP = Pattern.compile("[.!?]")
 
