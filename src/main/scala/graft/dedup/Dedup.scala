@@ -119,9 +119,15 @@ object Dedup extends Serializable {
 
   /** MinHash + LSH near-duplicate pairs (ids a < b, verified Jaccard ≥
     * threshold). Plan shape: per-row sketch (map-only) → explode into
-    * `bands` rows → shuffle on (band, band_hash) equi-join →
-    * candidate dedup → exact-Jaccard verify on the (small) candidate
-    * set. Token-less rows are excluded (no sketch → no candidates).
+    * `bands` ID-ONLY rows → shuffle on (band, band_hash) equi-join →
+    * candidate-pair dedup on bare (id_a, id_b) → re-join the two
+    * sketch columns BY ID → exact-Jaccard verify. The shingle arrays
+    * never ride a per-candidate exchange: the band join and the pair
+    * dedup shuffle only ids (a hot LSH bucket of size g otherwise
+    * shuffles O(g²) full sketches), and each sketch crosses exactly one
+    * exchange per side for the verify join — O(n), not O(candidates).
+    * Guarded by PlanShapeSpec ("no array column in any pair exchange").
+    * Token-less rows are excluded (no sketch → no candidates).
     */
   def minhashNearDups(
       df: DataFrame,
@@ -142,18 +148,18 @@ object Dedup extends Serializable {
     val sketched = df
       .select(F.col(idCol).as("id"), shU(F.col(textCol)).as("sh"))
       .filter(F.size(F.col("sh")) > 0)
-      .withColumn("bands", bandU(F.col("sh")))
     val banded = sketched
-      .select(F.col("id"), F.col("sh"), F.explode(F.col("bands")).as("b"))
-      .select(F.col("id"), F.col("sh"), F.col("b._1").as("band"), F.col("b._2").as("bh"))
-    val l = banded.select(F.col("band"), F.col("bh"),
-      F.col("id").as("id_a"), F.col("sh").as("sh_a"))
-    val r = banded.select(F.col("band"), F.col("bh"),
-      F.col("id").as("id_b"), F.col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bh"))
+      .select(F.col("id"), F.explode(bandU(F.col("sh"))).as("b"))
+      .select(F.col("id"), F.col("b._1").as("band"), F.col("b._2").as("bh"))
+    val pairs = banded.select(F.col("band"), F.col("bh"), F.col("id").as("id_a"))
+      .join(banded.select(F.col("band"), F.col("bh"), F.col("id").as("id_b")),
+        Seq("band", "bh"))
       .filter(F.col("id_a") < F.col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(sketched.select(F.col("id").as("id_a"), F.col("sh").as("sh_a")), Seq("id_a"))
+      .join(sketched.select(F.col("id").as("id_b"), F.col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jacU(F.col("sh_a"), F.col("sh_b")))
       .filter(F.col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -313,6 +319,12 @@ object Dedup extends Serializable {
     * computed over the SAME capped gram universe as the intersection,
     * so identical documents always score 1.0 even when they contain
     * capped grams.
+    *
+    * COVERAGE CAVEAT (not just a cost tradeoff): a pair whose ONLY
+    * shared grams all exceed `maxGramFreq` is LOST, not merely
+    * expensive — and a gram at the cap still emits O(cap²) candidate
+    * rows. Use [[ngramDroppedGrams]] to quantify the loss on a corpus
+    * before trusting the recall; prefer [[minhashClusters]] at scale.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -342,8 +354,30 @@ object Dedup extends Serializable {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Side output for [[ngramJaccardPairs]]'s silent-coverage tradeoff:
+    * the grams DROPPED by the `maxGramFreq` cut, with their document
+    * frequency. `count(*)` of this is the dropped-gram tally a run
+    * should log next to the pair output; any pair sharing ONLY these
+    * grams is invisible to the pair path.
+    */
+  def ngramDroppedGrams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxGramFreq: Int = 1000
+  ): DataFrame = {
+    val shU = F.udf((t: String) => shingles(t, n))
+    df.select(F.col(idCol).as("id"), F.explode(shU(F.col(textCol))).as("g"))
+      .groupBy("g").agg(F.count(F.lit(1)).as("gf"))
+      .filter(F.col("gf") > maxGramFreq)
+  }
+
   /** Embedding cosine near-dup pairs via random-hyperplane LSH (bit
-    * signature → band equi-join → exact cosine verify).
+    * signature → ID-ONLY band equi-join → pair dedup → re-join the
+    * embeddings by id → exact cosine verify). Same de-payloaded shape
+    * as [[minhashNearDups]]: a hot bucket shuffles O(g²) bare id
+    * pairs, never O(g²) embedding vectors.
     */
   def embeddingNearDups(
       df: DataFrame,
@@ -356,21 +390,25 @@ object Dedup extends Serializable {
     import graft.knn.Similarity
     val sigU = F.udf((v: Array[Float]) => Similarity.hyperplaneSig(v, nBits))
     val bits = nBits / nBands
-    val banded = df
-      .select(F.col(idCol).as("id"), F.col(embCol).as("emb"))
+    val vecs = df.select(F.col(idCol).as("id"), F.col(embCol).as("emb"))
+    val banded = vecs
       .withColumn("sig", sigU(F.col("emb")))
-      .select(F.col("id"), F.col("emb"),
+      .select(F.col("id"),
         F.explode(F.array((0 until nBands).map(b =>
           F.struct(F.lit(b).as("band"),
             F.shiftright(F.col("sig"), b * bits)
               .bitwiseAND(F.lit((1L << bits) - 1)).as("bh"))): _*)).as("b"))
-      .select(F.col("id"), F.col("emb"), F.col("b.band"), F.col("b.bh"))
+      .select(F.col("id"), F.col("b.band"), F.col("b.bh"))
     val cosU = F.udf((a: Array[Float], b: Array[Float]) => Similarity.cosine(a, b))
-    val l = banded.select(F.col("band"), F.col("bh"), F.col("id").as("id_a"), F.col("emb").as("emb_a"))
-    val r = banded.select(F.col("band"), F.col("bh"), F.col("id").as("id_b"), F.col("emb").as("emb_b"))
-    l.join(r, Seq("band", "bh"))
+    val pairs = banded.select(F.col("band"), F.col("bh"), F.col("id").as("id_a"))
+      .join(banded.select(F.col("band"), F.col("bh"), F.col("id").as("id_b")),
+        Seq("band", "bh"))
       .filter(F.col("id_a") < F.col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(vecs.select(F.col("id").as("id_a"), F.col("emb").as("emb_a")), Seq("id_a"))
+      .join(vecs.select(F.col("id").as("id_b"), F.col("emb").as("emb_b")), Seq("id_b"))
       .withColumn("sim", cosU(F.col("emb_a"), F.col("emb_b")))
       .filter(F.col("sim") >= simThreshold)
       .select("id_a", "id_b", "sim")

@@ -71,6 +71,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(out((1L, 2L)) - expected) < 1e-9)
   }
 
+  test("ngramDroppedGrams quantifies the maxGramFreq coverage loss (pairs sharing only a hot gram are lost)") {
+    import spark.implicits._
+    // "alpha beta gamma" is shared by 3 docs (df=3 > cap 2); every
+    // other 3-gram is unique to its doc
+    val hot = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "alpha beta gamma zeta"),
+      (4L, "totally different words here")
+    ).toDF("id", "text")
+    val dropped = Dedup.ngramDroppedGrams(hot, "id", "text", n = 3, maxGramFreq = 2).collect()
+    assert(dropped.length == 1 && dropped.head.getAs[Long]("gf") == 3L)
+    // the pair path silently loses all 1-2/1-3/2-3 pairs under the cap...
+    val capped = Dedup.ngramJaccardPairs(hot, "id", "text", n = 3,
+      threshold = 0.01, maxGramFreq = 2).count()
+    assert(capped == 0L)
+    // ...and finds them without it
+    val uncapped = Dedup.ngramJaccardPairs(hot, "id", "text", n = 3,
+      threshold = 0.01, maxGramFreq = 1000)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("MinHashAgg: group signature == signature of concatenated text; conv near-dups found") {
     import spark.implicits._
     import graft.functions.MinHashAgg

@@ -32,6 +32,47 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("minhash/embedding pair paths: per-candidate exchanges are id-only (no sketch payload)") {
+    // regression guard for the de-payloaded LSH shape: the band join
+    // (any exchange carrying the bucket key "bh") and the pair dedup
+    // must shuffle bare ids; only the single post-dedup verify join may
+    // move a sketch, one column per exchange. The old shape carried the
+    // full shingle arrays through the band join AND the pair-dedup
+    // exchange (sh_a+sh_b per candidate).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val bcast = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle joins
+    try {
+      import spark.implicits._
+      val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f h")).toDF("id", "text")
+      val embs = Seq((1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f))).toDF("id", "emb")
+      Seq(
+        graft.dedup.Dedup.minhashNearDups(docs, "id", "text"),
+        graft.dedup.Dedup.embeddingNearDups(embs, "id", "emb")
+      ).foreach { df =>
+        val exchanges = df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }
+        assert(exchanges.nonEmpty)
+        exchanges.foreach { e =>
+          val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+          assert(arrays.size <= 1,
+            s"exchange shuffles ${arrays.map(_.name)} together:\n$e")
+          if (e.output.exists(_.name == "bh"))
+            assert(arrays.isEmpty,
+              s"band-join exchange carries sketch ${arrays.map(_.name)}:\n$e")
+        }
+      }
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
   test("q16 custom expressions are inline in the Project (no UDF wrapper)") {
     // (whole-stage-codegen participation itself is asserted in
     // FunctionsSpec on a non-AQE plan; AQE plans don't render "*(n)"
