@@ -105,7 +105,17 @@ object ParityDump {
     val long2 = (1 to 25).map(i => s"Short one $i!").mkString(" ") + " trailing tail without punct"
     val long3 = ("x" * 120) + ". " + ("y" * 80) + "! " + ("z" * 200) + "?"
     Seq((long1, 120, 30), (long1, 500, 50), (long2, 80, 20), (long3, 100, 25),
-      ("tiny text.", 500, 50), ("", 500, 50))
+      ("tiny text.", 500, 50), ("", 500, 50),
+      // ADVICE regressions: a trailing unpunctuated fragment that is a
+      // substring of an earlier sentence must pass through verbatim
+      // (text_chunker.py:74 index guard)...
+      ("The cat sat. The cat", 10, 3),
+      ("abc def. abc", 8, 3),
+      // ...Unicode whitespace (NBSP) splits/strips like Python...
+      ("Hello.\u00a0World again.\u00a0And more text here. Tail bit", 20, 8),
+      ("alpha beta.\u2003gamma delta here. epsilon zeta theta.\u00a0", 24, 10),
+      // ...and lengths are code points (supplementary chars)
+      ("🎉🎉 alpha beta. 🎉 gamma delta. epsilon zeta final words. tail", 25, 8))
   }
 
   def main(args: Array[String]): Unit = {

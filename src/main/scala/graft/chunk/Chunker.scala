@@ -16,12 +16,63 @@ object Chunker extends Serializable {
   def splitSentences(text: String): Array[String] =
     text.split("[.!?]+").map(_.trim).filter(_.nonEmpty)
 
+  // Python-`re` semantics: \s in Python str patterns is Unicode-aware,
+  // Java's is ASCII-only without UNICODE_CHARACTER_CLASS (text with
+  // non-breaking spaces after sentence punctuation split in the
+  // reference but not in a bare-\s port). Compiled once per JVM.
+  private val UNI = java.util.regex.Pattern.UNICODE_CHARACTER_CLASS
+  private val sentEndSplitP =
+    java.util.regex.Pattern.compile("[.!?]+(?:\\s+|$)", UNI)
+  private val punctPartP = java.util.regex.Pattern.compile("[^.!?]*[.!?]+")
+  private val overlapBreakP = java.util.regex.Pattern.compile("[.!?]\\s+", UNI)
+
+  /** Python `len` counts code points, Java `length` counts UTF-16
+    * units — chunk-size comparisons must agree on supplementary chars.
+    */
+  @inline private def pyLen(s: String): Int = s.codePointCount(0, s.length)
+
+  /** Python `str.isspace` truth: Java `isWhitespace` alone misses the
+    * non-breaking-space family (Zs with the no-break property), which
+    * Python strips/splits on.
+    */
+  @inline private def pySpace(c: Char): Boolean =
+    Character.isWhitespace(c) || Character.getType(c) == Character.SPACE_SEPARATOR
+
+  /** Python no-arg `str.strip()` (Unicode whitespace incl. NBSP). */
+  private def pyStrip(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && pySpace(s.charAt(a))) a += 1
+    while (b > a && pySpace(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  /** Python no-arg `str.split()` (runs of Unicode whitespace, no
+    * empty tokens, implicit strip).
+    */
+  private def pySplit(s: String): Array[String] = {
+    val out = new ArrayBuffer[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (pySpace(c)) {
+        if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      } else sb.append(c)
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
   /** Sentence split, EXACT port of TextChunker._split_into_sentences
     * (text_chunker.py:60-85) including its quirky "re-add punctuation"
-    * pass: each delimiter-split piece is replaced by the FIRST
-    * punctuation-carrying original part that CONTAINS it as a
-    * substring (Python for/else semantics) — faithful, parity-checked
-    * against the reference implementation.
+    * pass: each delimiter-split piece AT INDEX < len(original_parts)
+    * (text_chunker.py:74 index guard — pieces beyond it pass through
+    * verbatim) is replaced by the FIRST punctuation-carrying original
+    * part that CONTAINS it as a substring (Python for/else semantics).
+    * `strip` is Unicode like Python's. Parity-checked against the
+    * reference implementation.
     */
   def splitSentencesReference(text: String): Seq[String] = {
     // fast path: no sentence punctuation ⇒ one piece, no parts (the
@@ -29,59 +80,62 @@ object Chunker extends Serializable {
     // text; result is identical)
     val hasPunct = text.indexOf('.') >= 0 || text.indexOf('!') >= 0 ||
       text.indexOf('?') >= 0
-    val pieces = java.util.regex.Pattern.compile("[.!?]+(?:\\s+|$)")
-      .split(text, -1).toSeq.map(_.trim).filter(_.nonEmpty)
+    val pieces = sentEndSplitP.split(text, -1).toSeq.map(pyStrip).filter(_.nonEmpty)
     val originalParts = if (!hasPunct) Seq.empty[String] else {
-      val m = java.util.regex.Pattern.compile("[^.!?]*[.!?]+").matcher(text)
+      val m = punctPartP.matcher(text)
       val out = new ArrayBuffer[String]()
       while (m.find()) out += m.group()
       out.toSeq
     }
-    pieces.map { sentence =>
-      originalParts.find(_.contains(sentence)) match {
-        case Some(part) => part.trim
-        case None => sentence
-      }
+    pieces.zipWithIndex.map { case (sentence, i) =>
+      if (i < originalParts.length)
+        originalParts.find(_.contains(sentence)) match {
+          case Some(part) => pyStrip(part)
+          case None => sentence
+        }
+      else sentence
     }
   }
 
   /** Overlapping chunker (C2) — EXACT port of TextChunker.chunk_text
     * (text_chunker.py:22-58; config 500/50: config.yaml:14,
     * smart_corrector.py:40-43): greedy sentence packing with an
-    * overlap tail carried from the previous chunk. Parity-checked
+    * overlap tail carried from the previous chunk. Lengths are code
+    * points and strips are Unicode, matching Python. Parity-checked
     * against the reference implementation (scripts/reference_parity.py).
     */
   def chunkText(text: String, chunkSize: Int = 500, overlap: Int = 50): Seq[String] = {
     if (text == null || text.isEmpty) return Nil
-    if (text.length <= chunkSize) return Seq(text)
+    if (pyLen(text) <= chunkSize) return Seq(text)
     val sentences = splitSentencesReference(text)
     val chunks = new ArrayBuffer[String]()
     var current = ""
     sentences.foreach { sentence =>
-      if (current.length + sentence.length > chunkSize && current.nonEmpty) {
-        chunks += current.trim
+      if (pyLen(current) + pyLen(sentence) > chunkSize && current.nonEmpty) {
+        chunks += pyStrip(current)
         val tail = overlapTail(current, overlap)
         current = if (tail.nonEmpty) tail + " " + sentence else sentence
       } else {
         current = if (current.nonEmpty) current + " " + sentence else sentence
       }
     }
-    if (current.trim.nonEmpty) chunks += current.trim
+    if (pyStrip(current).nonEmpty) chunks += pyStrip(current)
     chunks.toSeq
   }
 
   /** EXACT port of TextChunker._get_overlap_text (text_chunker.py:87-107):
-    * last ≤`overlap` chars, advanced past a sentence ending if one is
-    * present, else past the first (partial) word.
+    * last ≤`overlap` CODE POINTS, advanced past a sentence ending if
+    * one is present, else past the first (partial) word (Python
+    * no-arg `str.split()` = Unicode whitespace split).
     */
   def overlapTail(text: String, overlap: Int): String = {
-    if (text.length <= overlap) return text
-    val tail = text.substring(text.length - overlap)
-    val m = java.util.regex.Pattern.compile("[.!?]\\s+").matcher(tail)
+    if (pyLen(text) <= overlap) return text
+    val tail = text.substring(text.offsetByCodePoints(text.length, -overlap))
+    val m = overlapBreakP.matcher(tail)
     if (m.find()) tail.substring(m.end())
     else {
       // python str.split() then ' '.join(words[1:]) when >1 word
-      val pyWords = tail.trim.split("\\s+").filter(_.nonEmpty)
+      val pyWords = pySplit(tail)
       if (pyWords.length > 1) pyWords.drop(1).mkString(" ") else tail
     }
   }

@@ -62,8 +62,12 @@ final class CurateCore(
         if (!ws && !Character.isLetterOrDigit(c)) sym += 1
         i += 1
       }
+      // length gate counts CODE POINTS — the unfused pipeline's
+      // F.length is code points, and UTF-16 units would flip keep/drop
+      // for supplementary-char rows near maxChars (ADVICE r1)
+      val cpLen = text.codePointCount(0, len)
       if (wc < cfg.minWords) reason = "too_short"
-      else if (wc > cfg.maxWords || len > cfg.maxChars) reason = "too_long"
+      else if (wc > cfg.maxWords || cpLen > cfg.maxChars) reason = "too_long"
       else if (wc >= cfg.repMinWords && distinctRatio(text, wc) < cfg.minDistinctRatio)
         reason = "repetition"
       else if (sym.toDouble / len > cfg.maxSymbolRatio) reason = "symbol_ratio"
@@ -103,12 +107,14 @@ final class CurateCore(
   }
 
   /** distinct lowercased whitespace-token ratio — EXACTLY matches
-    * QualityRules.distinctRatioCol (split(lower(trim(text)), "\\s+")),
-    * regex split included, so fused and unfused pipelines agree on
-    * every input.
+    * QualityRules.distinctRatioCol
+    * (array_remove(split(lower(text), "\\s+"), "")): same regex split,
+    * same empty-token filter, no Java trim (which strips \t/\n that
+    * the column form's space-only trim kept — ADVICE r1), so fused and
+    * unfused pipelines agree on every input.
     */
   private def distinctRatio(text: String, wc: Int): Double = {
-    val words = text.trim.toLowerCase.split("\\s+")
+    val words = text.toLowerCase.split("\\s+")
     var n = 0
     val set = new java.util.HashSet[String](wc * 2)
     var i = 0

@@ -68,6 +68,11 @@ object QualityRules extends Serializable {
     n
   }
 
+  /** Distinct lowercased whitespace-token ratio. Empty tokens (from
+    * leading whitespace) are dropped in BOTH the Scala and Column
+    * forms so the fused kernel and the column pipeline agree on
+    * whitespace-degenerate input (ADVICE r1).
+    */
   def distinctRatio(text: String): Double = {
     val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
     if (words.isEmpty) 1.0 else words.distinct.length.toDouble / words.length
@@ -100,7 +105,9 @@ object QualityRules extends Serializable {
     if (text == null || text.trim.isEmpty) return "empty"
     val wc = wordCount(text)
     if (wc < cfg.minWords) "too_short"
-    else if (wc > cfg.maxWords || text.length > cfg.maxChars) "too_long"
+    // code points, matching F.length (not UTF-16 units)
+    else if (wc > cfg.maxWords ||
+      text.codePointCount(0, text.length) > cfg.maxChars) "too_long"
     else if (wc >= cfg.repMinWords && distinctRatio(text) < cfg.minDistinctRatio) "repetition"
     else if (symbolRatio(text) > cfg.maxSymbolRatio) "symbol_ratio"
     else if (isBoilerplate(text)) "boilerplate"
@@ -117,7 +124,7 @@ object QualityRules extends Serializable {
       .otherwise(F.size(F.split(F.trim(c), "\\s+")))
 
   def distinctRatioCol(c: Column): Column = {
-    val words = F.split(F.lower(F.trim(c)), "\\s+")
+    val words = F.array_remove(F.split(F.lower(c), "\\s+"), "")
     F.size(F.array_distinct(words)).cast("double") / F.size(words)
   }
 

@@ -57,7 +57,8 @@ object GoldenOracle {
     val reason: String =
       if (text == null || text.trim.isEmpty) "empty"
       else if (wc < cfg.minWords) "too_short"
-      else if (wc > cfg.maxWords || text.length > cfg.maxChars) "too_long"
+      else if (wc > cfg.maxWords ||
+        text.codePointCount(0, text.length) > cfg.maxChars) "too_long"
       else if (wc >= cfg.repMinWords &&
         words.map(_.toLowerCase).distinct.length.toDouble / wc < cfg.minDistinctRatio)
         "repetition"
@@ -191,6 +192,36 @@ class GoldenPipelineSpec extends SparkTestBase {
       .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.toString)
     assert(norm(Curate.curateDf(spark, ds)).toSeq ==
       norm(Curate.curateDfUnfused(spark, ds)).toSeq)
+  }
+
+  test("fused == unfused on non-BMP length boundary and whitespace-degenerate repetition (ADVICE r1)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cfg = QualityRules.defaultConfig
+    // emoji are 2 UTF-16 units / 1 code point: between maxChars code
+    // points and maxChars UTF-16 units a UTF-16 gate flips the decision
+    val emojiBody = ("😀" * (cfg.maxChars - 30)) + " plain tail words here"
+    val justOver = ("😀" * (cfg.maxChars + 1)) + " plain tail words here"
+    // tab-prefixed repetitive rows near the 0.3 distinct-ratio
+    // threshold: a counted empty token flips "repetition"
+    val rep = "\t" + (Seq.fill(18)("dup dup dup") :+ "uniq1 uniq2 uniq3 uniq4 uniq5")
+      .mkString(" ")
+    val texts = Seq(emojiBody, justOver, rep, "\t\n  \t", "  word  word word")
+    val rows = texts.zipWithIndex.map { case (t, i) =>
+      ("conv-x", i, "user", t, "none", new java.sql.Timestamp(0L))
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ppl", when(isnan(col("ppl")), -1.0).otherwise(round(col("ppl"), 9)))
+      .select("turn_idx", "lang", "keep", "drop_reason", "scrubbed_text")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.toString)
+    val fused = norm(Curate.curateDf(spark, rows))
+    val unfused = norm(Curate.curateDfUnfused(spark, rows))
+    assert(fused.toSeq == unfused.toSeq)
+    // and the code-point gate actually distinguishes the two emoji rows
+    val byIdx = Curate.curateDf(spark, rows).collect()
+      .map(r => r.getAs[Int]("turn_idx") -> r.getAs[String]("drop_reason")).toMap
+    assert(byIdx(0) != "too_long", "maxChars-20 code points must pass the length gate")
+    assert(byIdx(1) == "too_long")
   }
 
   test("order invariance: decisions identical under repartition + shuffled input (SURVEY.md §5 property)") {
