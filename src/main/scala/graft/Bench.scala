@@ -12,6 +12,15 @@ import graft.synth.Transcripts
   * Timing forces FULL materialization via the noop sink (a bare
   * count() would let Catalyst prune the expensive columns and
   * under-report), after one small warmup to amortize codegen/JIT.
+  *
+  * SELF-DIAGNOSIS (round-1 verdict): this VM shows bursts of
+  * double-digit CPU steal, which poisoned a driver-recorded artifact
+  * (80k turns/s recorded vs 450k re-measured). Every rep therefore
+  * records its wall time AND the /proc/stat steal%% observed during
+  * it, and the JSON carries the full per-rep arrays — a
+  * steal-poisoned run is identifiable from the artifact alone.
+  * Headline numbers are min-of-reps (3 for the curate metric and the
+  * shuffle-heavy dedup_conversations, 2 elsewhere).
   */
 object Bench {
 
@@ -31,6 +40,9 @@ object Bench {
     "langid_documents", "quality_score", "fingerprint", "chunk_documents",
     "multimodal_features")
 
+  /** Queries whose single-run variance was flagged in round 1 — min-of-3. */
+  private val tripleRep = Set("dedup_conversations")
+
   def forceMaterialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -40,6 +52,28 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** (totalJiffies, stealJiffies) from the /proc/stat "cpu" line;
+    * (0,0) when unreadable (non-Linux).
+    */
+  def readSteal(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (f.sum, if (f.length > 7) f(7) else 0L)
+      } finally src.close()
+    } catch { case _: Throwable => (0L, 0L) }
+
+  /** One timed rep + the steal%% of total machine jiffies during it. */
+  def timeWithSteal(f: => Unit): (Double, Double) = {
+    val (tot0, st0) = readSteal()
+    val sec = time(f)
+    val (tot1, st1) = readSteal()
+    val stealPct =
+      if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0
+    (sec, stealPct)
+  }
+
   /** Transcript turns for the curate throughput metric, scaled to the
     * sf tier (sf0.1 ≈ 600k turns ≈ lineitem row count at that sf).
     */
@@ -47,6 +81,9 @@ object Bench {
     if (sfDir.contains("sf0.1")) 36000L
     else if (sfDir.contains("sf0.01")) 3600L
     else 360L
+
+  private def jArr(xs: Seq[Double]): String =
+    xs.map(x => f"$x%.3f").mkString("[", ",", "]")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,40 +97,57 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val (benchTot0, benchSt0) = readSteal()
+
     // warmup: small end-to-end pass (codegen + JIT + model training)
     forceMaterialize(Curate.curateDf(spark, Transcripts.dataset(spark, 50).toDF()))
 
-    // curate throughput (the BASELINE.md turns/sec metric)
+    // curate throughput (the BASELINE.md turns/sec metric), min-of-3
     val nConvs = curateConvs(sfDir)
     val turns = Transcripts.dataset(spark, nConvs).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTurns = turns.count() // materializes input outside the timed region
     forceMaterialize(Curate.curateDf(spark, turns)) // warm
-    val curateSec = math.min(
-      time(forceMaterialize(Curate.curateDf(spark, turns))),
-      time(forceMaterialize(Curate.curateDf(spark, turns))))
+    val curateReps = (1 to 3).map { _ =>
+      timeWithSteal(forceMaterialize(Curate.curateDf(spark, turns)))
+    }
     turns.unpersist()
+    val curateSec = curateReps.map(_._1).min
     val turnsPerSec = nTurns / curateSec
 
     val results = benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val sec = try {
+      val reps = try {
         forceMaterialize(fn(spark, sfDir)) // warm: plan compile + codegen
-        // min-of-2: this VM shows double-digit CPU steal (/proc/stat)
-        math.min(
-          time(forceMaterialize(fn(spark, sfDir))),
-          time(forceMaterialize(fn(spark, sfDir))))
-      } catch { case _: Throwable => -1.0 }
-      name -> sec
+        val n = if (tripleRep(name)) 3 else 2
+        (1 to n).map(_ => timeWithSteal(forceMaterialize(fn(spark, sfDir))))
+      } catch { case _: Throwable => Seq((-1.0, 0.0)) }
+      (name, reps.map(_._1).min, reps)
     }
-    val qs = (results :+ ("curate_pipeline" -> curateSec))
+    val (benchTot1, benchSt1) = readSteal()
+    val benchStealPct =
+      if (benchTot1 > benchTot0) 100.0 * (benchSt1 - benchSt0) / (benchTot1 - benchTot0)
+      else 0.0
+
+    val qs = (results.map { case (k, v, _) => k -> v } :+ ("curate_pipeline" -> curateSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val repJson = (results.map { case (k, _, reps) => k -> reps } :+
+      ("curate_pipeline" -> curateReps))
+      .map { case (k, reps) => "\"" + k + "\":" + jArr(reps.map(_._1)) }
+      .mkString("{", ",", "}")
+    val stealJson = (results.map { case (k, _, reps) => k -> reps } :+
+      ("curate_pipeline" -> curateReps))
+      .map { case (k, reps) => "\"" + k + "\":" + jArr(reps.map(_._2)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + curateSec
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","cpus":$cpus,"curate_turns":$nTurns,""" +
-        s""""curate_sec":${f"$curateSec%.3f"},"turns_per_sec":${f"$turnsPerSec%.1f"}}""")
+        s""""curate_sec":${f"$curateSec%.3f"},"turns_per_sec":${f"$turnsPerSec%.1f"},""" +
+        s""""rep_sec":$repJson,"rep_steal_pct":$stealJson,""" +
+        s""""bench_steal_pct":${f"$benchStealPct%.2f"},""" +
+        s""""timing":"min-of-reps; rep_steal_pct = /proc/stat steal share during that rep"}""")
     spark.stop()
   }
 }

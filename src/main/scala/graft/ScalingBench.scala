@@ -22,7 +22,7 @@ object ScalingBench {
     * (/proc/stat), so single-shot wall times are unreliable; the MIN
     * over repetitions approximates the un-stolen cost at each level.
     */
-  def runAt(cpus: Int, inputPath: String, reps: Int = 5): (Long, Double) = {
+  def runAt(cpus: Int, inputPath: String, reps: Int = 5): (Long, Seq[(Double, Double)]) = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
@@ -38,14 +38,14 @@ object ScalingBench {
     val turns = spark.read.parquet(inputPath)
     val n = turns.count()
     val times = (1 to reps).map { i =>
-      val s = Bench.time {
+      val (s, st) = Bench.timeWithSteal {
         Bench.forceMaterialize(Curate.curateDf(spark, turns))
       }
-      System.err.println(f"[scaling] cpus=$cpus rep=$i sec=$s%.3f")
-      s
+      System.err.println(f"[scaling] cpus=$cpus rep=$i sec=$s%.3f steal=$st%.1f%%")
+      (s, st)
     }
     spark.stop()
-    (n, times.min)
+    (n, times)
   }
 
   def main(args: Array[String]): Unit = {
@@ -72,17 +72,23 @@ object ScalingBench {
       s.stop()
     }
 
-    val (n1, sec1) = runAt(lowCpus, input)
-    val (n2, sec2) = runAt(highCpus, input)
+    val (n1, reps1) = runAt(lowCpus, input)
+    val (n2, reps2) = runAt(highCpus, input)
     require(n1 == n2)
+    val sec1 = reps1.map(_._1).min
+    val sec2 = reps2.map(_._1).min
     val tp1 = n1 / sec1
     val tp2 = n2 / sec2
     val k = highCpus.toDouble / lowCpus
     val eff = tp2 / (k * tp1)
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     println(
       s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio",""" +
         s""""turns":$n1,"low_cpus":$lowCpus,"high_cpus":$highCpus,""" +
         s""""low_sec":${f"$sec1%.3f"},"high_sec":${f"$sec2%.3f"},""" +
-        s""""low_turns_per_sec":${f"$tp1%.1f"},"high_turns_per_sec":${f"$tp2%.1f"}}""")
+        s""""low_turns_per_sec":${f"$tp1%.1f"},"high_turns_per_sec":${f"$tp2%.1f"},""" +
+        s""""low_rep_sec":${arr(reps1.map(_._1))},"high_rep_sec":${arr(reps2.map(_._1))},""" +
+        s""""low_rep_steal_pct":${arr(reps1.map(_._2))},"high_rep_steal_pct":${arr(reps2.map(_._2))},""" +
+        s""""timing":"min-of-5; rep_steal_pct = /proc/stat steal share during that rep"}""")
   }
 }
