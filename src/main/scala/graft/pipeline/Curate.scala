@@ -112,14 +112,10 @@ object Curate {
         .when(graft.functions.TextMetrics.symbol_ratio(text) > cfg.maxSymbolRatio, "symbol_ratio")
         .when(QualityRules.boilerplateCol(text), "boilerplate")
 
-    val withLang = turns
-      .withColumn("__lang", langU(text))
-      .withColumn("lang", F.col("__lang._1"))
-      .withColumn("lang_conf", F.col("__lang._2"))
-      .withColumn("__cheap", cheapDrop)
+    val withCheap = turns.withColumn("__cheap", cheapDrop)
 
     // gated grammar hits (empty for already-dropped rows)
-    val withHits = withLang.withColumn(
+    val withHits = withCheap.withColumn(
       "rule_hits",
       F.when(F.col("__cheap").isNotNull, F.typedlit(Seq.empty[String]))
         .otherwise(hitsU(text)))
@@ -134,11 +130,22 @@ object Curate {
           F.when(cykU(text) >= cfg.cykMaxInvalid, "cyk"))
       else afterGrammar
 
+    // langid gated behind the cheap/grammar/cyk rules (verdict #6):
+    // already-dropped rows carry the ("und", 0.0) sentinel
+    val withLang = withHits
+      .withColumn("__pre_lang", afterCyk)
+      .withColumn("__lang",
+        F.when(F.col("__pre_lang").isNotNull,
+          F.struct(F.lit("und").as("_1"), F.lit(0.0).as("_2")))
+          .otherwise(langU(text)))
+      .withColumn("lang", F.col("__lang._1"))
+      .withColumn("lang_conf", F.col("__lang._2"))
+
     val langOk = F.col("lang").isInCollection(cfg.allowedLangs) &&
       F.col("lang_conf") >= cfg.minLangConf
-    val afterLang = F.coalesce(afterCyk, F.when(!langOk, "lang"))
+    val afterLang = F.coalesce(F.col("__pre_lang"), F.when(!langOk, "lang"))
 
-    val withPpl = withHits
+    val withPpl = withLang
       .withColumn("__pre_ppl", afterLang)
       .withColumn(
         "ppl",

@@ -40,8 +40,6 @@ final class CurateCore(
   type Result = CurateResult
 
   def process(text: String): Result = {
-    val (lang, langConf) =
-      if (text == null) ("und", 0.0) else langId.predict(text)
     val scrub = Scrubber.scrub(text)
 
     // one-pass scalar stats: word count, distinct-word ratio inputs,
@@ -83,9 +81,18 @@ final class CurateCore(
         GrammarRules.cykInvalidCount(text, cfg.cykMaxWords) >= cfg.cykMaxInvalid)
         reason = "cyk"
     }
-    if (reason == null &&
-      (!cfg.allowedLangs.contains(lang) || langConf < cfg.minLangConf))
-      reason = "lang"
+    // langid is GATED like every expensive stage (round-1 verdict #6):
+    // rows already dropped by cheap/grammar/cyk rules never pay the
+    // n-gram model scan and carry the sentinel ("und", 0.0)
+    var lang = "und"
+    var langConf = 0.0
+    if (reason == null) {
+      val p = langId.predict(text)
+      lang = p._1
+      langConf = p._2
+      if (!cfg.allowedLangs.contains(lang) || langConf < cfg.minLangConf)
+        reason = "lang"
+    }
 
     var ppl = Curate.dropWhenPplMissing
     if (reason == null && cfg.pplEnabled) {

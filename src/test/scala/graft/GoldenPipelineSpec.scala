@@ -45,7 +45,6 @@ object GoldenOracle {
       scrubbed: String, scrubHits: Map[String, Int])
 
   def expected(text: String): Expected = {
-    val lang = models.langId.predict(text)
     val words = text.trim.split("\\s+").filter(_.nonEmpty)
     val wc = words.length
     val symbols = text.count(c =>
@@ -54,7 +53,8 @@ object GoldenOracle {
       "Subscribe\\s+to.*newsletter|Follow\\s+us\\s+on|Share\\s+this)").r
       .findFirstIn(text).isDefined
 
-    val reason: String =
+    // rules BEFORE the langid stage, in ruleOrder
+    val preLang: String =
       if (text == null || text.trim.isEmpty) "empty"
       else if (wc < cfg.minWords) "too_short"
       else if (wc > cfg.maxWords ||
@@ -65,6 +65,13 @@ object GoldenOracle {
       else if (symbols.toDouble / text.length > cfg.maxSymbolRatio) "symbol_ratio"
       else if (boiler) "boilerplate"
       else if (GrammarRules.ruleHits(text).size >= cfg.maxRuleHits) "grammar"
+      else null
+
+    // langid gated behind the earlier rules: dropped rows carry the
+    // ("und", 0.0) sentinel and never hit the model
+    val lang = if (preLang == null) models.langId.predict(text) else ("und", 0.0)
+    val reason: String =
+      if (preLang != null) preLang
       else if (!cfg.allowedLangs.contains(lang._1) || lang._2 < cfg.minLangConf) "lang"
       else if (models.lm.perplexity(text) > cfg.maxPpl) "ppl"
       else null
