@@ -94,7 +94,8 @@ def ref_rule_hits(text):
     unique.sort(key=lambda e: e.start_pos)
     return [
         {'rule_id': e.rule_id, 'start': e.start_pos, 'end': e.end_pos,
-         'snippet': e.text_snippet, 'confidence': e.confidence}
+         'snippet': e.text_snippet, 'confidence': e.confidence,
+         'context': e.context}
         for e in unique
     ]
 

@@ -122,7 +122,7 @@ object ParityDump {
     val out = if (args.nonEmpty) args(0) else "/tmp/parity_scala.json"
     val textsJson = texts.map { t =>
       val hits = GrammarRules.ruleHits(t, includePos = false).map { h =>
-        s"""{"rule_id": ${jstr(h.rule_id)}, "start": ${h.start}, "end": ${h.end}, "snippet": ${jstr(h.snippet)}, "confidence": ${h.confidence}}"""
+        s"""{"rule_id": ${jstr(h.rule_id)}, "start": ${h.start}, "end": ${h.end}, "snippet": ${jstr(h.snippet)}, "confidence": ${h.confidence}, "context": ${jstr(h.context)}}"""
       }.mkString("[", ", ", "]")
       s"""{"text": ${jstr(t)}, "hits": $hits}"""
     }.mkString("[", ",\n", "]")

@@ -31,8 +31,45 @@ object GrammarRules extends Serializable {
       start: Int,
       end: Int,
       snippet: String,
-      confidence: Double
+      confidence: Double,
+      context: String
   )
+
+  /** ±`contextWindow`-char window around an error with the match
+    * `**`-highlighted — G4, exact port of _get_context
+    * (cfg_checker.py:116-134; window size = config
+    * `grammar.context_window` default 100, cfg_checker.py:50).
+    * Offsets are UTF-16 (same unit as RuleHit.start/end); the final
+    * strip is Unicode like Python's.
+    */
+  val contextWindow: Int = 100
+
+  def context(text: String, start: Int, end: Int): String = {
+    val cs = math.max(0, start - contextWindow)
+    val ce = math.min(text.length, end + contextWindow)
+    val window = text.substring(cs, ce)
+    val es = start - cs
+    val ee = end - cs
+    val marked =
+      if (es >= 0 && ee <= window.length)
+        window.substring(0, es) + "**" + window.substring(es, ee) + "**" +
+          window.substring(ee)
+      else window
+    pyStrip(marked)
+  }
+
+  /** Python no-arg str.strip(): Unicode whitespace incl. NBSP (Java
+    * isWhitespace misses the no-break Zs family).
+    */
+  private def pyStrip(s: String): String = {
+    @inline def sp(c: Char) =
+      Character.isWhitespace(c) || Character.getType(c) == Character.SPACE_SEPARATOR
+    var a = 0
+    var b = s.length
+    while (a < b && sp(s.charAt(a))) a += 1
+    while (b > a && sp(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
 
   /** `guards`: lowercase literal substrings, at least one of which MUST
     * appear in the lowercased text for the pattern to possibly match
@@ -125,7 +162,8 @@ object GrammarRules extends Serializable {
           if (tags.contains("N") && !tags.contains("AUX") && !tags.contains("PRP") &&
               !tags.contains("DET")) {
             out += RuleHit("POS_SUBJ_VERB", "POS Subject-Verb Agreement",
-              prevStart, m.end(), s"$prevWord $w", 0.75)
+              prevStart, m.end(), s"$prevWord $w", 0.75,
+              context(text, prevStart, m.end()))
           }
         }
       }
@@ -158,7 +196,8 @@ object GrammarRules extends Serializable {
       if (run) {
         val m = s.pattern.matcher(text)
         while (m.find()) {
-          all += RuleHit(s.ruleId, s.ruleName, m.start(), m.end(), m.group(), s.confidence)
+          all += RuleHit(s.ruleId, s.ruleName, m.start(), m.end(), m.group(),
+            s.confidence, context(text, m.start(), m.end()))
         }
       }
       i += 1
