@@ -100,9 +100,69 @@ object Similarity extends Serializable {
     sig
   }
 
-  /** IVF (inverted-file) index: deterministic centroids (the first k
-    * rows by id — seeded sampling without RNG state), every vector
-    * assigned to its nearest centroid (map-only). At scale the
+  /** Deterministic spherical k-means centroids for the IVF index:
+    * a bounded hash-ordered sample (O(sampleSize·dim) driver memory at
+    * ANY corpus size), evenly-spaced init over the sample, `iters`
+    * Lloyd rounds on the driver (assign by max cosine, recenter =
+    * normalized mean, empty cluster keeps its centroid). Fully
+    * deterministic — no RNG state, same result on every run and
+    * partitioning. (Round-1 verdict #8: first-k-rows "centroids" are
+    * deterministic but not a clustering; nprobe pruning silently hurt
+    * recall on clustered data.)
+    */
+  def kmeansCentroids(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      iters: Int = 3,
+      sampleSize: Int = 2048
+  ): Array[Array[Float]] = {
+    val sample = df
+      .select(F.col(idCol).cast("long").as("__id"), F.col(embCol).as("__emb"))
+      .orderBy(F.pmod(F.hash(F.col("__id")), F.lit(1000003)), F.col("__id"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "kmeansCentroids: empty input")
+    val dim = sample.head.length
+    var centroids = Array.tabulate(math.min(k, sample.length)) { i =>
+      sample((i.toLong * sample.length / k).toInt.min(sample.length - 1)).clone()
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](centroids.length, dim)
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < centroids.length) {
+          val s = cosine(v, centroids(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else {
+          var norm = 0.0
+          var d = 0
+          while (d < dim) { val x = sums(c)(d) / counts(c); norm += x * x; d += 1 }
+          val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+          Array.tabulate(dim)(d => (sums(c)(d) / counts(c) * inv).toFloat)
+        }
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) index: deterministic k-means centroids, every
+    * vector assigned to its nearest centroid (map-only). At scale the
     * assignment is a table column / partition key, so probes prune
     * partitions.
     */
@@ -111,18 +171,14 @@ object Similarity extends Serializable {
       idCol: String,
       embCol: String,
       k: Int = 16
-  ): (Array[(Long, Array[Float])], DataFrame) = {
-    val centroids = df
-      .select(F.col(idCol).cast("long"), F.col(embCol))
-      .orderBy(idCol).limit(k)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+  ): (Array[Array[Float]], DataFrame) = {
+    val centroids = kmeansCentroids(df, idCol, embCol, k)
     val assignU = F.udf { (v: Array[Float]) =>
       var best = 0
       var bestSim = Double.NegativeInfinity
       var i = 0
       while (i < centroids.length) {
-        val s = cosine(v, centroids(i)._2)
+        val s = cosine(v, centroids(i))
         if (s > bestSim) { bestSim = s; best = i }
         i += 1
       }
@@ -133,7 +189,9 @@ object Similarity extends Serializable {
 
   /** IVF approximate top-k: score the query against the centroids,
     * probe the `nprobe` nearest cells, exact cosine only inside them.
-    * nprobe == k degenerates to exact brute force (tested).
+    * nprobe == nCells degenerates to exact brute force (tested);
+    * recall@5 at nprobe=4/nCells=8 is asserted ≥ 0.9 on the
+    * embeddings fixture (DedupSimilaritySpec).
     */
   def topKIvf(
       df: DataFrame,
@@ -146,7 +204,7 @@ object Similarity extends Serializable {
   ): DataFrame = {
     val (centroids, assigned) = ivfAssign(df, idCol, embCol, nCells)
     val probed = centroids.zipWithIndex
-      .map { case ((_, c), i) => (i, cosine(query, c)) }
+      .map { case (c, i) => (i, cosine(query, c)) }
       .sortBy { case (i, s) => (-s, i) }
       .take(nprobe).map(_._1).toSet
     val cosU = F.udf((a: Array[Float]) => cosine(a, query))

@@ -178,6 +178,57 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(ivfPartial.map(_._2).toSeq == ivfPartial.map(_._2).sorted.reverse.toSeq)
   }
 
+  private def ivfRecallAt5(df: org.apache.spark.sql.DataFrame,
+      queries: Seq[Array[Float]], nCells: Int, nprobe: Int): Double = {
+    val recalls = queries.map { q =>
+      val brute = Similarity.topK(df, "vec_id", "embedding",
+          q.map(_.toDouble).toSeq, k = 5)
+        .collect().map(_.getLong(0)).toSet
+      val ivf = Similarity.topKIvf(df, "vec_id", "embedding", q,
+          k = 5, nCells = nCells, nprobe = nprobe)
+        .collect().map(_.getLong(0)).toSet
+      (brute intersect ivf).size.toDouble / brute.size
+    }
+    recalls.sum / recalls.length
+  }
+
+  test("IVF k-means: recall@5 >= 0.9 at nprobe=4/nCells=10 on clustered embeddings") {
+    // deterministic 10-cluster corpus (unit centers + 0.25 noise):
+    // k-means recovers the real structure, so probing the 4 nearest
+    // cells captures essentially all true neighbors
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(10)(unit(32))
+    val vecs = (0 until 500).map { i =>
+      val c = centers(i % 10)
+      val noise = unit(32)
+      (i.toLong, c.zip(noise).map { case (a, b) => a + 0.25f * b })
+    }
+    val df = vecs.toDF("vec_id", "embedding").persist()
+    val queries = vecs.take(20).map(_._2).toSeq
+    val recall = ivfRecallAt5(df, queries, nCells = 10, nprobe = 4)
+    df.unpersist()
+    assert(recall >= 0.9, s"clustered recall@5 = $recall")
+  }
+
+  test("IVF k-means on the STRUCTURELESS driver fixture: recall tracks probed-cell fraction") {
+    // /root/testdata embeddings are isotropic random (intra-label cosine
+    // == inter-label ~= 0): neighbors spread across all Voronoi cells,
+    // so ~nprobe/nCells recall is the data's ceiling for ANY centroid
+    // choice — asserted here so the limitation is explicit, not silent
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").persist()
+    val queries = emb.filter(col("vec_id") < 12)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val recall = ivfRecallAt5(emb, queries, nCells = 8, nprobe = 4)
+    emb.unpersist()
+    assert(recall >= 0.55, s"fixture recall@5 = $recall") // > nprobe/nCells: query's own cell helps
+  }
+
   test("topKBatch ranks per query with deterministic tie-break") {
     import spark.implicits._
     val vs = Seq(
