@@ -482,6 +482,20 @@ object SparkEntry {
     }),
 
     // ---- dims / set ops (A7, J4) ----
+    "store_mutations" -> ((s, dir) => {
+      // S7/S8 lifecycle end-to-end: build a bucketed vector store from
+      // documents, copy-on-write delete doc_id % 7 == 0, read back the
+      // survivors (DuckDB-oracled)
+      import graft.tableio.VectorStore
+      val base = s"/tmp/graft-vstore-query-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val vs = new VectorStore(s, base, nBuckets = 8)
+      vs.reset()
+      vs.add(tbl(s, dir, "documents")
+        .select(F.col("doc_id").cast("string").as("id"),
+          F.col("text").as("chunk"), F.col("source")))
+      vs.deleteWhere(F.col("id").cast("long") % 7 === 0)
+      vs.read().select(F.col("id").cast("long").as("doc_id")).orderBy("doc_id")
+    }),
     "lexicon_merge" -> ((s, dir) => {
       import s.implicits._
       val base = Cyk.lexicon.toSeq.flatMap { case (w, ps) => ps.map(p => (w, p)) }
@@ -622,6 +636,8 @@ object SparkEntry {
           s"SELECT rule_id, CAST(sum(n) AS BIGINT) AS n, max(conf) AS avg_conf " +
           s"FROM ($branches) GROUP BY rule_id HAVING sum(n) > 0 ORDER BY rule_id"
       },
+      "store_mutations" ->
+        "SELECT doc_id FROM documents WHERE doc_id % 7 <> 0 ORDER BY doc_id",
       "lexicon_merge" -> {
         val baseVals = (Cyk.lexicon.toSeq.flatMap { case (w, ps) => ps.map(p => (w, p)) } ++
           Seq(("spark", "N"), ("run", "N"), ("the", "DET")))

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.tableio.{TableIO, VectorStore}
+
+/** S8 store-mutation roundtrip (reference data_manager.py:296-390):
+  * add / metadata-filter get / delete-by-filter / delete-by-ids /
+  * reset / export — each mutation a copy-on-write rewrite of ONLY the
+  * affected partitions.
+  */
+class VectorStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshStore(name: String): (VectorStore, String) = {
+    val base = s"/tmp/graft-vstore-$name"
+    TableIO.deleteRecursive(java.nio.file.Paths.get(base))
+    (new VectorStore(spark, base, nBuckets = 4), base)
+  }
+
+  private def rows(ids: Range, source: String) =
+    ids.map(i => (s"doc-$i", s"chunk text $i", Array.fill(4)(i.toFloat), source))
+      .toDF("id", "chunk", "embedding", "source")
+
+  test("add/get roundtrip with metadata filter; second add appends") {
+    val (vs, _) = freshStore("roundtrip")
+    vs.add(rows(0 until 20, "web"))
+    assert(vs.count() == 20)
+    vs.add(rows(20 until 30, "pdf"))
+    assert(vs.count() == 30)
+    // metadata filter (collection.get where=)
+    val pdf = vs.read().filter(col("source") === "pdf")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(pdf == (20 until 30).map(i => s"doc-$i").toSet)
+  }
+
+  test("deleteWhere removes matches, returns count, rewrites only affected partitions") {
+    val (vs, base) = freshStore("delete")
+    vs.add(rows(0 until 40, "web"))
+    // snapshot per-partition file mtimes before the delete
+    val before = TableIO.donePartitions(base).map { p =>
+      p -> java.nio.file.Files.getLastModifiedTime(TableIO.manifestPath(base, p)).toMillis
+    }.toMap
+    Thread.sleep(20)
+    val deleted = vs.deleteWhere(col("id") === "doc-7" || col("id") === "doc-13")
+    assert(deleted == 2L)
+    assert(vs.count() == 38)
+    assert(!vs.read().select("id").collect().map(_.getString(0)).toSet
+      .exists(Set("doc-7", "doc-13")))
+    // only the buckets holding doc-7 / doc-13 were rewritten
+    val touched = TableIO.donePartitions(base).count { p =>
+      java.nio.file.Files.getLastModifiedTime(TableIO.manifestPath(base, p)).toMillis !=
+        before(p)
+    }
+    assert(touched >= 1 && touched <= 2, s"rewrote $touched partitions")
+    // no-match delete rewrites nothing and returns 0
+    assert(vs.deleteWhere(col("id") === "doc-does-not-exist") == 0L)
+  }
+
+  test("deleteByIds; emptying a partition drops it cleanly") {
+    val (vs, _) = freshStore("byids")
+    vs.add(rows(0 until 12, "web"))
+    assert(vs.deleteByIds(Seq("doc-1", "doc-2", "doc-3")) == 3L)
+    assert(vs.count() == 9)
+    // delete everything → store reads as empty without schema errors
+    assert(vs.deleteWhere(lit(true)) == 9L)
+    assert(vs.isEmpty)
+  }
+
+  test("reset drops the collection; export writes the reference JSON shape") {
+    val (vs, _) = freshStore("reset")
+    vs.add(rows(0 until 5, "web"))
+    val out = vs.exportJson("/tmp/graft-vstore-export/export.json", "curated")
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out)), java.nio.charset.StandardCharsets.UTF_8)
+    assert(json.contains("\"collection_name\": \"curated\""))
+    assert(json.contains("\"total_documents\": 5"))
+    assert(json.contains("doc-3"))
+    vs.reset()
+    assert(vs.isEmpty)
+    assert(vs.count() == 0L)
+  }
+}
