@@ -482,6 +482,24 @@ object SparkEntry {
     }),
 
     // ---- dims / set ops (A7, J4) ----
+    "html_extract" -> ((s, dir) => {
+      // S3 selector cascade end-to-end: wrap each document in a noisy
+      // page template (script/nav/comment/aside/footer) and recover the
+      // exact original text through the extractor (DuckDB-oracled: the
+      // roundtrip must be the identity on the clean corpus)
+      val u = F.udf((h: String) => graft.scrub.HtmlExtract.extract(h))
+      val page = F.concat(
+        F.lit("<html><head><title>t</title><script>var x = 1 < 2;</script></head>" +
+          "<body><nav>Home | About</nav><!-- c --><aside>ad</aside><main><p>"),
+        F.col("text"),
+        F.lit("</p></main><footer>Cookie Policy: accept</footer></body></html>"))
+      tbl(s, dir, "documents")
+        .select(F.col("doc_id"), u(page).as("e"))
+        .select(F.col("doc_id"), F.col("e.content").as("content"),
+          F.col("e.word_count").as("word_count"),
+          F.col("e.content_hash").as("content_hash"))
+        .orderBy("doc_id")
+    }),
     "store_mutations" -> ((s, dir) => {
       // S7/S8 lifecycle end-to-end: build a bucketed vector store from
       // documents, copy-on-write delete doc_id % 7 == 0, read back the
@@ -638,6 +656,9 @@ object SparkEntry {
       },
       "store_mutations" ->
         "SELECT doc_id FROM documents WHERE doc_id % 7 <> 0 ORDER BY doc_id",
+      "html_extract" ->
+        ("SELECT doc_id, text AS content, len(string_split(text, ' ')) AS word_count, " +
+          "md5(text) AS content_hash FROM documents ORDER BY doc_id"),
       "lexicon_merge" -> {
         val baseVals = (Cyk.lexicon.toSeq.flatMap { case (w, ps) => ps.map(p => (w, p)) } ++
           Seq(("spark", "N"), ("run", "N"), ("the", "DET")))

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.scrub.HtmlExtract
+
+/** S3 selector-cascade semantics (web_scraper.py:105-166). */
+class HtmlExtractSpec extends AnyFunSuite {
+
+  private val longText =
+    (1 to 30).map(i => s"sentence number $i with several words").mkString(". ") + "."
+
+  test("main selector wins when its text exceeds 200 chars; noise elements dropped") {
+    val html =
+      s"""<html><head><title> My  Page </title>
+         |<script>var x = 1 < 2 && "</div>";</script><style>.a{color:red}</style></head>
+         |<body><nav>Home | About</nav><!-- a comment -->
+         |<header>Big Header</header>
+         |<main><p>$longText</p></main>
+         |<aside>ads here</aside><footer>Cookie Policy: accept all</footer>
+         |</body></html>""".stripMargin
+    val e = HtmlExtract.extract(html)
+    assert(e.title == "My Page")
+    assert(e.content == graft.scrub.Scrubber.cleanTextReference(longText))
+    assert(!e.content.contains("Home") && !e.content.contains("Header") &&
+      !e.content.contains("ads") && !e.content.contains("Cookie") &&
+      !e.content.contains("var x"))
+    assert(e.word_count == e.content.split(" ").count(_.nonEmpty))
+  }
+
+  test("cascade order: article, [role=main], content classes") {
+    val art = s"<html><body><div>x</div><article>$longText</article></body></html>"
+    assert(HtmlExtract.extract(art).content.startsWith("sentence number 1"))
+    val role = s"""<html><body><div role="main">$longText</div></body></html>"""
+    assert(HtmlExtract.extract(role).content.startsWith("sentence number 1"))
+    val cls = s"""<html><body><div class="wrap entry-content">$longText</div></body></html>"""
+    assert(HtmlExtract.extract(cls).content.startsWith("sentence number 1"))
+  }
+
+  test("a short main (<200 chars) falls through to body; no body falls to all text") {
+    val shortMain =
+      s"""<html><body><main>tiny</main><div>$longText</div></body></html>"""
+    val e = HtmlExtract.extract(shortMain)
+    assert(e.content.contains("tiny") && e.content.contains("sentence number 1"))
+    val noBody = "just bare text, no tags at all"
+    assert(HtmlExtract.extract(noBody).content == noBody)
+  }
+
+  test("tolerant parsing: unclosed tags, stray close tags, void elements, quoted attrs") {
+    val messy =
+      """<html><body><p>alpha <b>beta<br><img src="x.png"> gamma</p>
+        |</notopen><div class='content over'>delta</div>""".stripMargin
+    val e = HtmlExtract.extract(messy)
+    Seq("alpha", "beta", "gamma", "delta").foreach(w => assert(e.content.contains(w), w))
+  }
+
+  test("content hash and word count match the cleaned content") {
+    val e = HtmlExtract.extract(s"<body><main>$longText</main></body>")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(e.content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(e.content_hash == md5)
+  }
+}
