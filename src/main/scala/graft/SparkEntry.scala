@@ -436,6 +436,14 @@ object SparkEntry {
         .withColumn("sim", r6(F.col("sim")))
         .orderBy("qid", "rank")
     }),
+    "ann_batch_lsh" -> ((s, dir) => {
+      // large-query-set shape: bucket equi-join, no broadcast (rows-only)
+      val emb = tbl(s, dir, "embeddings")
+      val qs = emb.filter(F.col("vec_id") < 4)
+      Similarity.topKBatchLsh(emb, "vec_id", "embedding", qs, "vec_id", "embedding", k = 3)
+        .withColumn("sim", r6(F.col("sim")))
+        .orderBy("qid", "rank")
+    }),
 
     // ---- text analysis (rows-only where UDF-based) ----
     "langid_documents" -> ((s, dir) => {

@@ -76,6 +76,48 @@ object Similarity extends Serializable {
       .select("qid", "cid", "sim", "rank")
   }
 
+  /** Batched approximate top-k for LARGE query sets — [[topKBatch]]
+    * broadcasts the query side (right only while queries fit in one
+    * executor); this variant equi-joins corpus and queries on shared
+    * random-hyperplane LSH buckets, so BOTH sides shuffle by bucket
+    * key: the 10^12-corpus × 10^9-query shape. Exact cosine runs at
+    * the join (scalar output), so the candidate-dedup exchange moves
+    * (qid, cid, sim) rows — never embedding payloads (same
+    * de-payloading as Dedup's pair paths; a pair colliding in several
+    * bands re-scores rather than re-shuffles). Per-query top-k via
+    * window rank. Recall is governed by nBits/nBands exactly as in
+    * [[topKLsh]].
+    */
+  def topKBatchLsh(
+      corpus: DataFrame, corpusId: String, corpusEmb: String,
+      queries: DataFrame, queryId: String, queryEmb: String,
+      k: Int = 5,
+      nBits: Int = 16,
+      nBands: Int = 4
+  ): DataFrame = {
+    val bits = nBits / nBands
+    val sigU = F.udf((v: Array[Float]) => hyperplaneSig(v, nBits))
+    def banded(df: DataFrame, id: String, emb: String, ida: String, emba: String) =
+      df.select(F.col(id).as(ida), F.col(emb).as(emba))
+        .withColumn("__sig", sigU(F.col(emba)))
+        .select(F.col(ida), F.col(emba),
+          F.explode(F.array((0 until nBands).map(b =>
+            F.struct(F.lit(b).as("band"),
+              F.shiftright(F.col("__sig"), b * bits)
+                .bitwiseAND(F.lit((1L << bits) - 1)).as("bh"))): _*)).as("b"))
+        .select(F.col(ida), F.col(emba), F.col("b.band"), F.col("b.bh"))
+    val cosU = F.udf((a: Array[Float], b: Array[Float]) => cosine(a, b))
+    val scored = banded(corpus, corpusId, corpusEmb, "cid", "cemb")
+      .join(banded(queries, queryId, queryEmb, "qid", "qemb"), Seq("band", "bh"))
+      .select(F.col("qid"), F.col("cid"),
+        cosU(F.col("cemb"), F.col("qemb")).as("sim"))
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy("qid").orderBy(F.col("sim").desc, F.col("cid"))
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("qid", "cid", "sim", "rank")
+  }
+
   /** Deterministic random hyperplane for LSH bit b (seeded hash — no
     * RNG state, identical on every executor).
     */

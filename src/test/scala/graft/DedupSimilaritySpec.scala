@@ -229,6 +229,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= 0.55, s"fixture recall@5 = $recall") // > nprobe/nCells: query's own cell helps
   }
 
+  test("topKBatchLsh: self is rank 1, candidates share a band, ranks descend") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.topKBatchLsh(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 4), "vec_id", "embedding", k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+        r.getAs[Double]("sim"), r.getAs[Int]("rank")))
+    // the query vector is in the corpus and shares all its own bands
+    (0L until 4L).foreach { q =>
+      val mine = out.filter(_._1 == q).sortBy(_._4)
+      assert(mine.head._2 == q && math.abs(mine.head._3 - 1.0) < 1e-9, s"q=$q self not rank 1")
+      assert(mine.map(_._3).toSeq == mine.map(_._3).sorted.reverse.toSeq)
+    }
+    // every candidate genuinely shares an LSH band with its query
+    val sigs = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") ->
+        Similarity.hyperplaneSig(r.getSeq[Float](1).toArray, 16)).toMap
+    out.foreach { case (q, c, _, _) =>
+      val shares = (0 until 4).exists(b =>
+        ((sigs(q) >>> (b * 4)) & 0xfL) == ((sigs(c) >>> (b * 4)) & 0xfL))
+      assert(shares, s"pair ($q,$c) shares no band")
+    }
+  }
+
   test("topKBatch ranks per query with deterministic tie-break") {
     import spark.implicits._
     val vs = Seq(
