@@ -46,7 +46,13 @@ object ParityDump {
       "includes Capitalized does not fire lookahead",
       "includes lowercase does fire the lookahead",
       "nothing wrong with this perfectly ordinary sentence.",
-      "", "   ", "a", "是的 我们 都 同意。"
+      "", "   ", "a", "是的 我们 都 同意。",
+      // supplementary chars before a hit: context window + positions
+      // must be CODE POINTS to match Python slicing
+      "🎉🎉🎉 party text and then he are happy after the emoji run.",
+      ("🎉" * 60) + " padding words here so the window clips. he are late.",
+      // NEL (U+0085) is whitespace to Python str.strip/split
+      "intro\u0085line break.\u0085he are here."
     )
     val synth = Transcripts.trainingCorpus(seed = 99L, perLang = 8).map(_._1)
     (canonical +: traps) ++ synth
@@ -122,7 +128,10 @@ object ParityDump {
     val out = if (args.nonEmpty) args(0) else "/tmp/parity_scala.json"
     val textsJson = texts.map { t =>
       val hits = GrammarRules.ruleHits(t, includePos = false).map { h =>
-        s"""{"rule_id": ${jstr(h.rule_id)}, "start": ${h.start}, "end": ${h.end}, "snippet": ${jstr(h.snippet)}, "confidence": ${h.confidence}, "context": ${jstr(h.context)}}"""
+        // engine offsets are UTF-16; Python's are code points — convert
+        // at the dump layer (same semantic position, different unit)
+        val (cs, ce) = (t.codePointCount(0, h.start), t.codePointCount(0, h.end))
+        s"""{"rule_id": ${jstr(h.rule_id)}, "start": $cs, "end": $ce, "snippet": ${jstr(h.snippet)}, "confidence": ${h.confidence}, "context": ${jstr(h.context)}}"""
       }.mkString("[", ", ", "]")
       s"""{"text": ${jstr(t)}, "hits": $hits}"""
     }.mkString("[", ",\n", "]")

@@ -513,7 +513,10 @@ object SparkEntry {
       // documents, copy-on-write delete doc_id % 7 == 0, read back the
       // survivors (DuckDB-oracled)
       import graft.tableio.VectorStore
-      val base = s"/tmp/graft-vstore-query-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      // per-session path: concurrent processes (sbt test + Verify)
+      // must not mutate each other's store
+      val base = s"/tmp/graft-vstore-query-${s.sparkContext.applicationId}-" +
+        dir.replaceAll("[^a-zA-Z0-9.]", "_")
       val vs = new VectorStore(s, base, nBuckets = 8)
       vs.reset()
       vs.add(tbl(s, dir, "documents")

@@ -2,6 +2,8 @@ package graft.chunk
 
 import scala.collection.mutable.ArrayBuffer
 
+import graft.util.PyStr.{pyLen, pySplit, pyStrip}
+
 /** Chunking / segmentation operators (SURVEY.md §2.8) — rebuilds of the
   * reference's `TextChunker` (text_chunker.py) and the RAG recursive
   * splitter (data_manager.py:87-95). In the rebuilt pipeline turns are
@@ -25,45 +27,6 @@ object Chunker extends Serializable {
     java.util.regex.Pattern.compile("[.!?]+(?:\\s+|$)", UNI)
   private val punctPartP = java.util.regex.Pattern.compile("[^.!?]*[.!?]+")
   private val overlapBreakP = java.util.regex.Pattern.compile("[.!?]\\s+", UNI)
-
-  /** Python `len` counts code points, Java `length` counts UTF-16
-    * units — chunk-size comparisons must agree on supplementary chars.
-    */
-  @inline private def pyLen(s: String): Int = s.codePointCount(0, s.length)
-
-  /** Python `str.isspace` truth: Java `isWhitespace` alone misses the
-    * non-breaking-space family (Zs with the no-break property), which
-    * Python strips/splits on.
-    */
-  @inline private def pySpace(c: Char): Boolean =
-    Character.isWhitespace(c) || Character.getType(c) == Character.SPACE_SEPARATOR
-
-  /** Python no-arg `str.strip()` (Unicode whitespace incl. NBSP). */
-  private def pyStrip(s: String): String = {
-    var a = 0
-    var b = s.length
-    while (a < b && pySpace(s.charAt(a))) a += 1
-    while (b > a && pySpace(s.charAt(b - 1))) b -= 1
-    if (a == 0 && b == s.length) s else s.substring(a, b)
-  }
-
-  /** Python no-arg `str.split()` (runs of Unicode whitespace, no
-    * empty tokens, implicit strip).
-    */
-  private def pySplit(s: String): Array[String] = {
-    val out = new ArrayBuffer[String]()
-    val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (pySpace(c)) {
-        if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
-      } else sb.append(c)
-      i += 1
-    }
-    if (sb.length > 0) out += sb.toString
-    out.toArray
-  }
 
   /** Sentence split, EXACT port of TextChunker._split_into_sentences
     * (text_chunker.py:60-85) including its quirky "re-add punctuation"

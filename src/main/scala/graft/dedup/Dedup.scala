@@ -388,17 +388,10 @@ object Dedup extends Serializable {
       nBands: Int = 4
   ): DataFrame = {
     import graft.knn.Similarity
-    val sigU = F.udf((v: Array[Float]) => Similarity.hyperplaneSig(v, nBits))
-    val bits = nBits / nBands
     val vecs = df.select(F.col(idCol).as("id"), F.col(embCol).as("emb"))
-    val banded = vecs
-      .withColumn("sig", sigU(F.col("emb")))
-      .select(F.col("id"),
-        F.explode(F.array((0 until nBands).map(b =>
-          F.struct(F.lit(b).as("band"),
-            F.shiftright(F.col("sig"), b * bits)
-              .bitwiseAND(F.lit((1L << bits) - 1)).as("bh"))): _*)).as("b"))
-      .select(F.col("id"), F.col("b.band"), F.col("b.bh"))
+    // id-only banding (de-payloaded); the ONE bucket-scheme definition
+    val banded = Similarity.hyperplaneBanded(
+      vecs, "id", "emb", "id", None, nBits, nBands)
     val cosU = F.udf((a: Array[Float], b: Array[Float]) => Similarity.cosine(a, b))
     val pairs = banded.select(F.col("band"), F.col("bh"), F.col("id").as("id_a"))
       .join(banded.select(F.col("band"), F.col("bh"), F.col("id").as("id_b")),

@@ -95,20 +95,11 @@ object Similarity extends Serializable {
       nBits: Int = 16,
       nBands: Int = 4
   ): DataFrame = {
-    val bits = nBits / nBands
-    val sigU = F.udf((v: Array[Float]) => hyperplaneSig(v, nBits))
-    def banded(df: DataFrame, id: String, emb: String, ida: String, emba: String) =
-      df.select(F.col(id).as(ida), F.col(emb).as(emba))
-        .withColumn("__sig", sigU(F.col(emba)))
-        .select(F.col(ida), F.col(emba),
-          F.explode(F.array((0 until nBands).map(b =>
-            F.struct(F.lit(b).as("band"),
-              F.shiftright(F.col("__sig"), b * bits)
-                .bitwiseAND(F.lit((1L << bits) - 1)).as("bh"))): _*)).as("b"))
-        .select(F.col(ida), F.col(emba), F.col("b.band"), F.col("b.bh"))
     val cosU = F.udf((a: Array[Float], b: Array[Float]) => cosine(a, b))
-    val scored = banded(corpus, corpusId, corpusEmb, "cid", "cemb")
-      .join(banded(queries, queryId, queryEmb, "qid", "qemb"), Seq("band", "bh"))
+    val scored =
+      hyperplaneBanded(corpus, corpusId, corpusEmb, "cid", Some("cemb"), nBits, nBands)
+        .join(hyperplaneBanded(queries, queryId, queryEmb, "qid", Some("qemb"), nBits, nBands),
+          Seq("band", "bh"))
       .select(F.col("qid"), F.col("cid"),
         cosU(F.col("cemb"), F.col("qemb")).as("sim"))
       .dropDuplicates("qid", "cid")
@@ -116,6 +107,40 @@ object Similarity extends Serializable {
     scored.withColumn("rank", F.row_number().over(w))
       .filter(F.col("rank") <= k)
       .select("qid", "cid", "sim", "rank")
+  }
+
+  /** THE hyperplane-LSH bucket scheme, defined once: (idAlias
+    * [, embAlias], band, bh) rows — one per band — for any embedding
+    * DataFrame. Shared by [[topKBatchLsh]] and
+    * [[graft.dedup.Dedup.embeddingNearDups]] so a change to band
+    * extraction cannot drift between them. Pass `embAlias = None` for
+    * the de-payloaded id-only shape (nothing but ids enters the bucket
+    * shuffle).
+    */
+  def hyperplaneBanded(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      idAlias: String,
+      embAlias: Option[String],
+      nBits: Int,
+      nBands: Int
+  ): DataFrame = {
+    require(nBits % nBands == 0, "nBands must divide nBits")
+    val bits = nBits / nBands
+    val sigU = F.udf((v: Array[Float]) => hyperplaneSig(v, nBits))
+    val sigged = df
+      .select(F.col(idCol).as(idAlias), F.col(embCol).as("__emb"))
+      .withColumn("__sig", sigU(F.col("__emb")))
+    val keep = F.col(idAlias) +: embAlias.map(a => F.col("__emb").as(a)).toSeq
+    val kept = embAlias.map(F.col).toSeq
+    sigged
+      .select(keep :+
+        F.explode(F.array((0 until nBands).map(b =>
+          F.struct(F.lit(b).as("band"),
+            F.shiftright(F.col("__sig"), b * bits)
+              .bitwiseAND(F.lit((1L << bits) - 1)).as("bh"))): _*)).as("b"): _*)
+      .select(F.col(idAlias) +: kept :+ F.col("b.band") :+ F.col("b.bh"): _*)
   }
 
   /** Deterministic random hyperplane for LSH bit b (seeded hash — no

@@ -35,18 +35,22 @@ object GrammarRules extends Serializable {
       context: String
   )
 
-  /** ±`contextWindow`-char window around an error with the match
+  /** ±`contextWindow` window around an error with the match
     * `**`-highlighted — G4, exact port of _get_context
     * (cfg_checker.py:116-134; window size = config
     * `grammar.context_window` default 100, cfg_checker.py:50).
-    * Offsets are UTF-16 (same unit as RuleHit.start/end); the final
-    * strip is Unicode like Python's.
+    * The window is measured in CODE POINTS like Python slicing (a
+    * UTF-16 window would shift on supplementary chars and could split
+    * a surrogate pair at the edge); `start`/`end` args stay UTF-16
+    * (the unit of RuleHit/matcher offsets). Final strip is Python's.
     */
   val contextWindow: Int = 100
 
   def context(text: String, start: Int, end: Int): String = {
-    val cs = math.max(0, start - contextWindow)
-    val ce = math.min(text.length, end + contextWindow)
+    val cs = text.offsetByCodePoints(start,
+      -math.min(contextWindow, text.codePointCount(0, start)))
+    val ce = text.offsetByCodePoints(end,
+      math.min(contextWindow, text.codePointCount(end, text.length)))
     val window = text.substring(cs, ce)
     val es = start - cs
     val ee = end - cs
@@ -55,20 +59,7 @@ object GrammarRules extends Serializable {
         window.substring(0, es) + "**" + window.substring(es, ee) + "**" +
           window.substring(ee)
       else window
-    pyStrip(marked)
-  }
-
-  /** Python no-arg str.strip(): Unicode whitespace incl. NBSP (Java
-    * isWhitespace misses the no-break Zs family).
-    */
-  private def pyStrip(s: String): String = {
-    @inline def sp(c: Char) =
-      Character.isWhitespace(c) || Character.getType(c) == Character.SPACE_SEPARATOR
-    var a = 0
-    var b = s.length
-    while (a < b && sp(s.charAt(a))) a += 1
-    while (b > a && sp(s.charAt(b - 1))) b -= 1
-    if (a == 0 && b == s.length) s else s.substring(a, b)
+    graft.util.PyStr.pyStrip(marked)
   }
 
   /** `guards`: lowercase literal substrings, at least one of which MUST

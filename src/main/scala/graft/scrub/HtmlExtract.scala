@@ -41,6 +41,9 @@ object HtmlExtract extends Serializable {
     val root = Elem("#root", Map.empty, new ArrayBuffer[Node])
     if (html == null || html.isEmpty) return root
     val stack = scala.collection.mutable.Stack[Elem](root)
+    // lowercased once: the raw-text close-tag scan would otherwise
+    // re-lowercase the whole document per script/style element
+    lazy val lowerHtml = html.toLowerCase
     val n = html.length
     var i = 0
     val text = new java.lang.StringBuilder
@@ -81,7 +84,7 @@ object HtmlExtract extends Serializable {
             stack.top.children += elem
             if (rawTextElems.contains(name) && !selfClose) {
               // raw content until the matching close tag
-              val close = html.toLowerCase.indexOf(s"</$name", i)
+              val close = lowerHtml.indexOf(s"</$name", i)
               val stop = if (close < 0) n else close
               elem.children += Text(html.substring(i, stop))
               val gt = html.indexOf('>', stop)
@@ -168,14 +171,16 @@ object HtmlExtract extends Serializable {
     val root = parse(html)
     val title = selectFirst(root, _.name == "title").map(getText).getOrElse("")
     var content = ""
+    // length thresholds in code points (Python len), web_scraper.py:133,137
+    def cpLen(s: String) = s.codePointCount(0, s.length)
     val it = mainSelectors.iterator
-    while (content.length <= 200 && it.hasNext) {
+    while (cpLen(content) <= 200 && it.hasNext) {
       selectFirst(root, it.next()) match {
         case Some(e) => content = getText(e) // accepted only when > 200 chars
         case None => ()
       }
     }
-    if (content.isEmpty || content.length < 200)
+    if (content.isEmpty || cpLen(content) < 200)
       content = selectFirst(root, _.name == "body").map(getText).getOrElse(content)
     if (content.isEmpty) content = getText(root)
     val cleaned = Scrubber.cleanTextReference(content)

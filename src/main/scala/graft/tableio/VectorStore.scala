@@ -67,7 +67,11 @@ final class VectorStore(spark: SparkSession, base: String, nBuckets: Int = 16) {
       .agg(F.count(F.lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1))
     affected.foreach { case (p, _) =>
-      val keep = TableIO.readPartition(spark, base, p).filter(!cond)
+      // SQL three-valued logic: NOT(NULL) is NULL, so a bare !cond
+      // would silently drop rows where cond evaluates to NULL (e.g. a
+      // failed cast) without counting them — only TRUE deletes
+      val keep = TableIO.readPartition(spark, base, p)
+        .filter(!F.coalesce(cond, F.lit(false)))
       commit(keep, p)
     }
     affected.map(_._2).sum

@@ -67,6 +67,19 @@ class VectorStoreSpec extends SparkTestBase {
     assert(vs.isEmpty)
   }
 
+  test("deleteWhere with a NULL-evaluating predicate keeps (and doesn't count) those rows") {
+    // SQL three-valued logic: cast("abc") is NULL so cond is NULL —
+    // a bare !cond would silently drop the row
+    val (vs, _) = freshStore("nullpred")
+    vs.add(Seq(("abc", "t", Array(0f), "web"), ("7", "t", Array(0f), "web"),
+      ("14", "t", Array(0f), "web"), ("3", "t", Array(0f), "web"))
+      .toDF("id", "chunk", "embedding", "source"))
+    val deleted = vs.deleteWhere(expr("try_cast(id AS BIGINT)") % 7 === 0)
+    assert(deleted == 2L) // "7" and "14"
+    val left = vs.read().select("id").collect().map(_.getString(0)).toSet
+    assert(left == Set("abc", "3"), s"got $left")
+  }
+
   test("reset drops the collection; export writes the reference JSON shape") {
     val (vs, _) = freshStore("reset")
     vs.add(rows(0 until 5, "web"))
