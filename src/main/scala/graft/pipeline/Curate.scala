@@ -89,7 +89,8 @@ object Curate {
 
     val langU = F.udf((t: String) => bModels.value.langId.predict(t))
     val pplU = F.udf((t: String) => bModels.value.lm.perplexity(t))
-    val hitsU = F.udf((t: String) => GrammarRules.ruleHits(t).map(_.rule_id))
+    val hitsU = F.udf((t: String) =>
+      GrammarRules.ruleHits(t, withContext = false).map(_.rule_id))
     val cykU = F.udf((t: String) => GrammarRules.cykInvalidCount(t, cfg.cykMaxWords))
     val scrubU = Scrubber.scrubUdf
 

@@ -74,7 +74,7 @@ final class CurateCore(
 
     var hits: Seq[String] = Nil
     if (reason == null) {
-      val rh = GrammarRules.ruleHits(text)
+      val rh = GrammarRules.ruleHits(text, withContext = false)
       hits = rh.map(_.rule_id)
       if (rh.size >= cfg.maxRuleHits) reason = "grammar"
       else if (cfg.cykEnabled &&

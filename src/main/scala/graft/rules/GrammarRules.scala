@@ -138,7 +138,8 @@ object GrammarRules extends Serializable {
     * reference's LLM tagger path always throws, SURVEY.md §7.4).
     * Sentence boundary approximated as "no [.!?] between the tokens".
     */
-  private def posHits(text: String, out: ArrayBuffer[RuleHit]): Unit = {
+  private def posHits(text: String, out: ArrayBuffer[RuleHit],
+      withContext: Boolean = true): Unit = {
     val m = tokenP.matcher(text)
     var prevWord: String = null
     var prevStart = -1
@@ -154,7 +155,7 @@ object GrammarRules extends Serializable {
               !tags.contains("DET")) {
             out += RuleHit("POS_SUBJ_VERB", "POS Subject-Verb Agreement",
               prevStart, m.end(), s"$prevWord $w", 0.75,
-              context(text, prevStart, m.end()))
+              if (withContext) context(text, prevStart, m.end()) else "")
           }
         }
       }
@@ -170,8 +171,15 @@ object GrammarRules extends Serializable {
     *   reference's POS path is NLTK-based; pass false when comparing
     *   against the reference's regex-only subset (reference-parity
     *   harness, scripts/reference_parity.py).
+    * @param withContext build the G4 ±100-char highlighted context per
+    *   hit. The curate hot path consumes only rule ids and passes
+    *   false — no context substrings allocated for the keep/drop gate.
     */
-  def ruleHits(text: String, includePos: Boolean = true): Seq[RuleHit] = {
+  def ruleHits(
+      text: String,
+      includePos: Boolean = true,
+      withContext: Boolean = true
+  ): Seq[RuleHit] = {
     if (text == null || text.isEmpty) return Nil
     val lower = text.toLowerCase
     val all = new ArrayBuffer[RuleHit](8)
@@ -187,13 +195,14 @@ object GrammarRules extends Serializable {
       if (run) {
         val m = s.pattern.matcher(text)
         while (m.find()) {
+          val ctx = if (withContext) context(text, m.start(), m.end()) else ""
           all += RuleHit(s.ruleId, s.ruleName, m.start(), m.end(), m.group(),
-            s.confidence, context(text, m.start(), m.end()))
+            s.confidence, ctx)
         }
       }
       i += 1
     }
-    if (includePos && lower.contains("are")) posHits(text, all)
+    if (includePos && lower.contains("are")) posHits(text, all, withContext)
     dedup(all)
   }
 
