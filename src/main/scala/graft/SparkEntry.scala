@@ -267,7 +267,8 @@ object SparkEntry {
     }),
     "conv_reassemble_curated" -> ((s, dir) => {
       // R3 over the real curated pipeline output (langid/ppl gated —
-      // not SQL-expressible; rows-only check)
+      // not SQL-expressible; rows-only check). Includes the A8
+      // conversation-summary last-3 slice (rag_chatbot.py:264-285).
       curated(s, dir)
         .filter(F.col("keep"))
         .groupBy("conv_id")
@@ -275,7 +276,11 @@ object SparkEntry {
           F.concat_ws(" ",
             F.transform(
               F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("scrubbed_text")))),
-              x => x.getField("scrubbed_text"))).as("reassembled"))
+              x => x.getField("scrubbed_text"))).as("reassembled"),
+          F.array_join(F.slice(
+            F.transform(
+              F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("role")))),
+              x => x.getField("role")), -3, 3), "|").as("last_3_roles"))
         .orderBy("conv_id")
     }),
     "conv_reassemble_twophase" -> ((s, dir) => {

@@ -54,6 +54,20 @@ class HtmlExtractSpec extends AnyFunSuite {
     Seq("alpha", "beta", "gamma", "delta").foreach(w => assert(e.content.contains(w), w))
   }
 
+  test("property: arbitrary tag-free text wrapped in the page template round-trips through extract") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.,!?;:'()-"
+    (1 to 100).foreach { _ =>
+      val t = Seq.fill(60)(
+        Seq.fill(1 + rnd.nextInt(9))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      ).mkString(" ") // > 200 chars of tag-free words
+      val html = s"<html><head><title>x</title></head><body><nav>n</nav>" +
+        s"<main><p>$t</p></main><footer>f</footer></body></html>"
+      assert(HtmlExtract.extract(html).content ==
+        graft.scrub.Scrubber.cleanTextReference(t), t.take(80))
+    }
+  }
+
   test("content hash and word count match the cleaned content") {
     val e = HtmlExtract.extract(s"<body><main>$longText</main></body>")
     val md5 = java.security.MessageDigest.getInstance("MD5")

@@ -73,6 +73,11 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("html_extract scan reads only (doc_id, text) — column pruning through the UDF") {
+    val p = plan("html_extract")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("q16 custom expressions are inline in the Project (no UDF wrapper)") {
     // (whole-stage-codegen participation itself is asserted in
     // FunctionsSpec on a non-AQE plan; AQE plans don't render "*(n)"
