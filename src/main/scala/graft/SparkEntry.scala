@@ -386,10 +386,12 @@ object SparkEntry {
       Dedup.simhashNearDups(t, "id", "text").orderBy("id_a", "id_b")
     }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val t = synthTurns(s, dir)
-        .select(F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).as("id"),
-          F.col("text"))
-      Dedup.ngramJaccardPairs(t, "id", "text", threshold = 0.8)
+      // DuckDB-oracled: hashed-gram jaccard == string-gram jaccard
+      // (collision-free 64-bit hashes), so the whole relational dedup
+      // path is value-compared against an independent SQL formulation
+      val t = tbl(s, dir, "documents")
+        .select(F.col("doc_id").as("id"), F.col("text"))
+      Dedup.ngramJaccardPairs(t, "id", "text", n = 3, threshold = 0.2)
         .withColumn("jaccard", r6(F.col("jaccard")))
         .orderBy("id_a", "id_b")
     }),
@@ -675,6 +677,20 @@ object SparkEntry {
       "html_extract" ->
         ("SELECT doc_id, text AS content, len(string_split(text, ' ')) AS word_count, " +
           "md5(text) AS content_hash FROM documents ORDER BY doc_id"),
+      "dedup_ngram_jaccard" ->
+        ("WITH toks AS (SELECT doc_id AS id, " +
+          "list_filter(regexp_split_to_array(lower(text), '[^\\pL\\pN_]+'), x -> x <> '') AS w FROM documents), " +
+          "sh AS (SELECT id, CASE WHEN len(w) < 3 THEN list_distinct(w) " +
+          "ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS grams FROM toks), " +
+          "g AS (SELECT id, unnest(grams) AS g FROM sh), " +
+          "capped AS (SELECT g FROM g GROUP BY g HAVING count(*) <= 1000), " +
+          "fg AS (SELECT g.id, g.g FROM g JOIN capped USING (g)), " +
+          "sizes AS (SELECT id, count(*) AS sz FROM fg GROUP BY id), " +
+          "pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter " +
+          "FROM fg a JOIN fg b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2) " +
+          "SELECT id_a, id_b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard " +
+          "FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b " +
+          "WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2 ORDER BY id_a, id_b"),
       "lexicon_merge" -> {
         val baseVals = (Cyk.lexicon.toSeq.flatMap { case (w, ps) => ps.map(p => (w, p)) } ++
           Seq(("spark", "N"), ("run", "N"), ("the", "DET")))
