@@ -186,21 +186,29 @@ object Dedup extends Serializable {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val shU = F.udf((t: String) => shingles(t, shingleSize))
-    val bandU = F.udf((sh: Array[Long]) =>
-      bandHashes(minhashSignature(sh, numHashes), bands, rows))
-    val sketched = df
-      .select(F.col(idCol).as("id"), shU(F.col(textCol)).as("sh"))
-    val sketchable = sketched.filter(F.size(F.col("sh")) > 0)
-    val unsketchable = sketched.filter(F.size(F.col("sh")) === 0)
-      .select(F.col("id"), F.col("id").as("rep_id"))
-    val banded = sketchable
-      .select(F.col("id"), F.explode(bandU(F.col("sh"))).as("b"))
+    // one UDF: shingle → signature → band hashes, with the empty-sketch
+    // marker inline (an empty Seq) so token-less rows need no second
+    // evaluation of the sketch over a separate DAG branch
+    val bandU = F.udf { (t: String) =>
+      val sh = shingles(t, shingleSize)
+      if (sh.isEmpty) Seq.empty[(Int, Long)]
+      else bandHashes(minhashSignature(sh, numHashes), bands, rows)
+    }
+    val banded = df
+      .select(F.col(idCol).as("id"), bandU(F.col(textCol)).as("bs"))
+      .select(F.col("id"), F.explode_outer(F.col("bs")).as("b"))
       .select(F.col("id"), F.col("b._1").as("band"), F.col("b._2").as("bh"))
-    val bucketMin = banded.groupBy("band", "bh").agg(F.min("id").as("bucket_rep"))
-    banded.join(bucketMin, Seq("band", "bh"))
+    // bucket min via window (one shuffle on (band, bh)) instead of a
+    // groupBy + self-join, which would re-run the sketch UDF over the
+    // whole corpus for the second DAG branch; token-less rows (null
+    // band from explode_outer) fall into per-id singleton buckets
+    val w = Window.partitionBy(F.col("band"),
+      F.when(F.col("band").isNull, F.col("id")).otherwise(F.col("bh")))
+    banded
+      .withColumn("bucket_rep",
+        F.when(F.col("band").isNull, F.col("id"))
+          .otherwise(F.min("id").over(w)))
       .groupBy("id").agg(F.min("bucket_rep").as("rep_id"))
-      .unionByName(unsketchable)
   }
 
   /** CONVERSATION-level near-duplicates — the true analog of the
