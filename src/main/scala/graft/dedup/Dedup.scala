@@ -294,12 +294,17 @@ object Dedup extends Serializable {
     val sigs = df
       .filter(hasTokensCol(F.col(textCol)))
       .select(F.col(idCol).as("id"), shU(F.col(textCol)).as("sig"))
-    val groups = sigs.groupBy("sig").agg(F.min("id").as("rep"))
+    // rep via window min over sig: the intra and groups branches then
+    // share ONE identical exchange (ReuseExchange) instead of a
+    // groupBy + join that re-ran the simhash UDF per branch
+    val withRep = sigs.withColumn("rep",
+      F.min("id").over(Window.partitionBy("sig")))
     // intra-group: every non-rep member pairs with its rep at distance 0
-    val intra = sigs.join(groups, Seq("sig"))
-      .filter(F.col("id") =!= F.col("rep"))
+    val intra = withRep.filter(F.col("id") =!= F.col("rep"))
       .select(F.col("rep").as("id_a"), F.col("id").as("id_b"),
         F.lit(0).as("hamming"))
+    val groups = withRep.filter(F.col("id") === F.col("rep"))
+      .select(F.col("rep"), F.col("sig"))
     val banded = groups.select(
       F.col("rep"), F.col("sig"),
       F.explode(F.array((0 until 4).map(b =>
