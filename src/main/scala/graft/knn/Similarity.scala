@@ -233,25 +233,32 @@ object Similarity extends Serializable {
     * assignment is a table column / partition key, so probes prune
     * partitions.
     */
+  /** @param nAssign multi-probe ASSIGNMENT: each vector is indexed
+    *   under its `nAssign` nearest cells (index grows nAssign×, recall
+    *   at a fixed nprobe rises — the standard knob when the corpus has
+    *   weak cluster structure). 1 = classic IVF. The frame explodes to
+    *   one row per assignment; callers must dedup ids after scoring.
+    */
   def ivfAssign(
       df: DataFrame,
       idCol: String,
       embCol: String,
-      k: Int = 16
+      k: Int = 16,
+      nAssign: Int = 1
   ): (Array[Array[Float]], DataFrame) = {
     val centroids = kmeansCentroids(df, idCol, embCol, k)
     val assignU = F.udf { (v: Array[Float]) =>
-      var best = 0
-      var bestSim = Double.NegativeInfinity
-      var i = 0
-      while (i < centroids.length) {
-        val s = cosine(v, centroids(i))
-        if (s > bestSim) { bestSim = s; best = i }
-        i += 1
-      }
-      best
+      centroids.indices
+        .map(i => (i, cosine(v, centroids(i))))
+        .sortBy { case (i, s) => (-s, i) }
+        .take(nAssign).map(_._1)
     }
-    (centroids, df.withColumn("__ivf_cell", assignU(F.col(embCol))))
+    val assigned =
+      if (nAssign == 1)
+        df.withColumn("__ivf_cell", assignU(F.col(embCol)).getItem(0))
+      else
+        df.withColumn("__ivf_cell", F.explode(assignU(F.col(embCol))))
+    (centroids, assigned)
   }
 
   /** IVF approximate top-k: score the query against the centroids,
@@ -267,17 +274,20 @@ object Similarity extends Serializable {
       query: Array[Float],
       k: Int = 5,
       nCells: Int = 16,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      nAssign: Int = 1
   ): DataFrame = {
-    val (centroids, assigned) = ivfAssign(df, idCol, embCol, nCells)
+    val (centroids, assigned) = ivfAssign(df, idCol, embCol, nCells, nAssign)
     val probed = centroids.zipWithIndex
       .map { case (c, i) => (i, cosine(query, c)) }
       .sortBy { case (i, s) => (-s, i) }
       .take(nprobe).map(_._1).toSet
     val cosU = F.udf((a: Array[Float]) => cosine(a, query))
-    assigned
+    val scored = assigned
       .filter(F.col("__ivf_cell").isInCollection(probed))
       .select(F.col(idCol), cosU(F.col(embCol)).as("sim"))
+    // multi-assignment can surface the same id via several probed cells
+    (if (nAssign > 1) scored.dropDuplicates(idCol) else scored)
       .orderBy(F.col("sim").desc, F.col(idCol))
       .limit(k)
   }

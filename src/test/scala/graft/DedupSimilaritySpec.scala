@@ -216,17 +216,35 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"clustered recall@5 = $recall")
   }
 
-  test("IVF k-means on the STRUCTURELESS driver fixture: recall tracks probed-cell fraction") {
+  test("IVF k-means on the STRUCTURELESS driver fixture: recall tracks probed-cell fraction; multi-assign lifts it") {
     // /root/testdata embeddings are isotropic random (intra-label cosine
     // == inter-label ~= 0): neighbors spread across all Voronoi cells,
-    // so ~nprobe/nCells recall is the data's ceiling for ANY centroid
-    // choice — asserted here so the limitation is explicit, not silent
+    // so ~nprobe/nCells recall is the data's ceiling for single-assign
+    // IVF — asserted here so the limitation is explicit, not silent.
+    // nAssign=2 (each vector indexed under its 2 nearest cells) buys
+    // recall back at 2x index size — the standard structureless knob.
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").persist()
     val queries = emb.filter(col("vec_id") < 12)
-      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
-    val recall = ivfRecallAt5(emb, queries, nCells = 8, nprobe = 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    def recallAt5(nAssign: Int): Double = {
+      val rs = queries.map { case (_, q) =>
+        val brute = Similarity.topK(emb, "vec_id", "embedding",
+            q.map(_.toDouble).toSeq, k = 5)
+          .collect().map(_.getLong(0)).toSet
+        val ivf = Similarity.topKIvf(emb, "vec_id", "embedding", q,
+            k = 5, nCells = 8, nprobe = 4, nAssign = nAssign)
+          .collect().map(_.getLong(0)).toSet
+        (brute intersect ivf).size.toDouble / brute.size
+      }
+      rs.sum / rs.length
+    }
+    val single = recallAt5(1)
+    val multi = recallAt5(2)
     emb.unpersist()
-    assert(recall >= 0.55, s"fixture recall@5 = $recall") // > nprobe/nCells: query's own cell helps
+    assert(single >= 0.55, s"single-assign recall@5 = $single")
+    assert(multi >= single, s"multi-assign $multi < single $single")
+    assert(multi >= 0.8, s"multi-assign recall@5 = $multi")
   }
 
   test("topKBatchLsh: self is rank 1, candidates share a band, ranks descend") {
