@@ -291,6 +291,22 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
     "conv_stats_salted" -> ((s, dir) => {
+      // salted two-phase per-conv aggregation, DuckDB-oracled against a
+      // direct single-phase SQL aggregate (salting must not change
+      // values) — doc-derived turns, SQL-expressible keep rule
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val turns = tbl(s, dir, "documents")
+        .select(F.col("source").as("conv_id"),
+          F.row_number().over(w).as("turn_idx"),
+          Scrubber.scrubColReference(F.col("text")).as("scrubbed_text"),
+          (F.size(F.split(F.col("text"), " ", -1)) >= 50).as("keep"))
+      Curate.convStatsSalted(turns)
+        .withColumn("avg_chars", r6(F.col("avg_chars")))
+        .orderBy("conv_id")
+    }),
+    "conv_stats_salted_skew" -> ((s, dir) => {
+      // same operator under a planted 20k-turn hot conversation
+      // (reducer-state bound demo; rows-only)
       val skewed = Transcripts.dataset(s, 50L, skew = true, skewTurns = 20000).toDF()
       Curate.convStatsSalted(Curate.curateDf(s, skewed))
         .withColumn("avg_chars", r6(F.col("avg_chars")))
@@ -677,6 +693,13 @@ object SparkEntry {
       "html_extract" ->
         ("SELECT doc_id, text AS content, len(string_split(text, ' ')) AS word_count, " +
           "md5(text) AS content_hash FROM documents ORDER BY doc_id"),
+      "conv_stats_salted" ->
+        (s"WITH t AS (SELECT source AS conv_id, ${Scrubber.scrubSqlReference("text")} AS scrubbed, " +
+          "len(string_split(text, ' ')) >= 50 AS keep FROM documents) " +
+          "SELECT conv_id, count(*) AS n_turns, " +
+          "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "round(sum(length(scrubbed)) * 1.0 / count(*), 6) AS avg_chars " +
+          "FROM t GROUP BY conv_id ORDER BY conv_id"),
       "dedup_ngram_jaccard" ->
         ("WITH toks AS (SELECT doc_id AS id, " +
           "list_filter(regexp_split_to_array(lower(text), '[^\\pL\\pN_]+'), x -> x <> '') AS w FROM documents), " +
