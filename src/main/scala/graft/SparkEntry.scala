@@ -693,6 +693,18 @@ object SparkEntry {
       "html_extract" ->
         ("SELECT doc_id, text AS content, len(string_split(text, ' ')) AS word_count, " +
           "md5(text) AS content_hash FROM documents ORDER BY doc_id"),
+      "fingerprint" ->
+        // the custom codegen FingerprintExpr vs an independent HUGEINT
+        // mod-2^64 formulation of the same rolling hash (seed
+        // 1125899906842597, h*31+lower(char), ws runs collapse to ' ')
+        ("WITH n AS (SELECT doc_id, regexp_replace(ltrim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents), " +
+          "f AS (SELECT doc_id, list_reduce(" +
+          "list_prepend(CAST(1125899906842597 AS HUGEINT), " +
+          "list_transform(range(1, length(t) + 1), i -> CAST(unicode(t[i]) AS HUGEINT))), " +
+          "(h, c) -> (h * 31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS hu FROM n) " +
+          "SELECT doc_id, CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT) " +
+          "THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT) AS fp " +
+          "FROM f ORDER BY doc_id"),
       "conv_stats_salted" ->
         (s"WITH t AS (SELECT source AS conv_id, ${Scrubber.scrubSqlReference("text")} AS scrubbed, " +
           "len(string_split(text, ' ')) >= 50 AS keep FROM documents) " +
