@@ -355,8 +355,15 @@ object SparkEntry {
         .orderBy("rule_id")
     }),
     "dynamic_grammar" -> ((s, dir) => {
-      // A6: learned (lhs nonterminal, rhs pattern, frequency) dim table
-      graft.grammar.DynamicGrammar.learn(synthTurns(s, dir))
+      // A6: learned (lhs nonterminal, rhs pattern, frequency) dim
+      // table over documents — DuckDB-oracled: the whole
+      // tag-and-slide learner (cleanWord, lexicon tag resolution,
+      // suffix fallback, 17-template bank, per-text dedup) is a pure
+      // deterministic function replicated independently in SQL
+      val planted = tbl(s, dir, "documents")
+        .withColumn("text", F.when(F.col("doc_id") % 3 === 0,
+          F.concat(F.col("text"), F.lit(plantedErrors))).otherwise(F.col("text")))
+      graft.grammar.DynamicGrammar.learn(planted)
         .orderBy(F.desc("frequency"), F.col("lhs"), F.col("rhs"))
     }),
     "perplexity_turns" -> ((s, dir) => {
@@ -693,6 +700,37 @@ object SparkEntry {
       "html_extract" ->
         ("SELECT doc_id, text AS content, len(string_split(text, ' ')) AS word_count, " +
           "md5(text) AS content_hash FROM documents ORDER BY doc_id"),
+      "dynamic_grammar" -> {
+        import graft.grammar.DynamicGrammar
+        // lexicon words grouped by their RESOLVED tag (tagPriority
+        // applied in Scala — the SQL sees flat IN-lists)
+        val groups = Cyk.lexicon.keySet.groupBy(DynamicGrammar.tagWord)
+        val lexCases = Seq("DET", "PRP", "AUX", "V", "ADJ", "ADV", "P", "CC", "N")
+          .flatMap(t => groups.get(t).map(ws =>
+            s"WHEN c IN ${ws.toSeq.sorted.map(w => s"'$w'").mkString("(", ",", ")")} THEN '$t'"))
+          .mkString(" ")
+        val tagCase = s"CASE $lexCases " +
+          "WHEN c LIKE '%ly' THEN 'ADV' " +
+          "WHEN c LIKE '%ing' OR c LIKE '%ed' OR c LIKE '%s' THEN 'V' " +
+          "WHEN c LIKE '%er' OR c LIKE '%est' THEN 'ADJ' ELSE 'N' END"
+        val branches = DynamicGrammar.patterns.map { case (pat, nt) =>
+          val conds = pat.zipWithIndex
+            .map { case (t, j) => s"tags[i+$j] = '$t'" }.mkString(" AND ")
+          s"SELECT DISTINCT doc_id, '$nt' AS lhs, '${pat.mkString(" ")}' AS rhs FROM tagged " +
+            s"WHERE len(list_filter(range(1, len(tags) - ${pat.length - 2}), i -> $conds)) > 0"
+        }.mkString(" UNION ALL ")
+        s"WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || '$plantedErrors' " +
+          "ELSE text END AS text FROM documents), " +
+          "sents AS (SELECT doc_id, unnest(list_filter(" +
+          "list_transform(regexp_split_to_array(trim(text), '[.!?]+'), s -> trim(s)), " +
+          "s -> len(list_filter(regexp_split_to_array(s, '\\s+'), w -> w <> '')) > 1)[1:50]) AS s " +
+          "FROM d), " +
+          "tagged AS (SELECT doc_id, list_transform(list_transform(" +
+          "list_filter(regexp_split_to_array(s, '\\s+'), w -> w <> ''), " +
+          "w -> trim(lower(w), '.,!?\";')), c -> " + tagCase + ") AS tags FROM sents) " +
+          s"SELECT lhs, rhs, count(*) AS frequency FROM ($branches) " +
+          "GROUP BY lhs, rhs ORDER BY frequency DESC, lhs, rhs"
+      },
       "fingerprint" ->
         // the custom codegen FingerprintExpr vs an independent HUGEINT
         // mod-2^64 formulation of the same rolling hash (seed
