@@ -498,10 +498,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "chunk_documents" -> ((s, dir) => {
-      // C2/C4: overlapping chunker + posexplode
+      // C2/C4: overlapping chunker + posexplode. The documents corpus
+      // is punctuation-free (one giant "sentence" → one chunk), so a
+      // period is planted every 10 words to exercise real greedy
+      // packing + overlap carry
       val u = F.udf((t: String) => Chunker.chunkText(t, 200, 20))
+      val sentencified =
+        F.regexp_replace(F.col("text"), "((?:\\S+\\s+){9}\\S+)\\s+", "$1. ")
       tbl(s, dir, "documents")
-        .select(F.col("doc_id"), F.posexplode(u(F.col("text"))).as(Seq("idx", "chunk")))
+        .select(F.col("doc_id"), F.posexplode(u(sentencified)).as(Seq("idx", "chunk")))
         .orderBy("doc_id", "idx")
     }),
 
