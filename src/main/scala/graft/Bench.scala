@@ -44,6 +44,21 @@ object Bench {
   /** Queries whose single-run variance was flagged in round 1 — min-of-3. */
   private val tripleRep = Set("dedup_conversations")
 
+  /** THE bench session config (shared with BenchOne so ad-hoc timings
+    * stay comparable with the headline bench).
+    */
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
   def forceMaterialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -89,14 +104,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = session(cpus)
 
     val (benchTot0, benchSt0) = readSteal()
 

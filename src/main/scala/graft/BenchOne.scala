@@ -12,14 +12,7 @@ object BenchOne {
     val reps = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Bench.session(cpus)
     val fn = SparkEntry.queries(name)
     Bench.forceMaterialize(fn(spark, sfDir)) // warm
     val out = (1 to reps).map(_ => Bench.timeWithSteal(Bench.forceMaterialize(fn(spark, sfDir))))

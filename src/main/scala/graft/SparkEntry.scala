@@ -277,10 +277,14 @@ object SparkEntry {
             F.transform(
               F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("scrubbed_text")))),
               x => x.getField("scrubbed_text"))).as("reassembled"),
-          F.array_join(F.slice(
-            F.transform(
+          F.array_join({
+            // Python list[-3:] semantics: slice(arr, -3, 3) is EMPTY
+            // for arrays shorter than 3, so short arrays pass through
+            val roles = F.transform(
               F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("role")))),
-              x => x.getField("role")), -3, 3), "|").as("last_3_roles"))
+              x => x.getField("role"))
+            F.when(F.size(roles) < 3, roles).otherwise(F.slice(roles, -3, 3))
+          }, "|").as("last_3_roles"))
         .orderBy("conv_id")
     }),
     "conv_reassemble_twophase" -> ((s, dir) => {
@@ -740,7 +744,10 @@ object SparkEntry {
         // the custom codegen FingerprintExpr vs an independent HUGEINT
         // mod-2^64 formulation of the same rolling hash (seed
         // 1125899906842597, h*31+lower(char), ws runs collapse to ' ')
-        ("WITH n AS (SELECT doc_id, regexp_replace(ltrim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents), " +
+        // leading-ws strip uses regex \\s (Java isWhitespace analog for
+        // the ASCII fixture; ltrim would strip spaces only) — corpus is
+        // ASCII/BMP so code-point-vs-UTF-16 iteration agrees
+        ("WITH n AS (SELECT doc_id, regexp_replace(regexp_replace(lower(text), '^\\s+', ''), '\\s+', ' ', 'g') AS t FROM documents), " +
           "f AS (SELECT doc_id, list_reduce(" +
           "list_prepend(CAST(1125899906842597 AS HUGEINT), " +
           "list_transform(range(1, length(t) + 1), i -> CAST(unicode(t[i]) AS HUGEINT))), " +

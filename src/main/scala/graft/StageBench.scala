@@ -31,7 +31,8 @@ object StageBench {
     val bModels = spark.sparkContext.broadcast(models)
     val langU = F.udf((t: String) => bModels.value.langId.predict(t))
     val pplU = F.udf((t: String) => bModels.value.lm.perplexity(t))
-    val hitsU = F.udf((t: String) => GrammarRules.ruleHits(t).map(_.rule_id))
+    val hitsU = F.udf((t: String) =>
+      GrammarRules.ruleHits(t, withContext = false).map(_.rule_id)) // matches Curate hot path
     val text = F.col("text")
 
     val stages: Seq[(String, DataFrame)] = Seq(

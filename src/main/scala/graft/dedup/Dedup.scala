@@ -35,6 +35,18 @@ object Dedup extends Serializable {
     text.toLowerCase.split("[^\\p{L}\\p{N}_]+").filter(_.nonEmpty)
   }
 
+  /** 64-bit word hash (FNV-1a over chars, then mixed). String.hashCode
+    * is 32 bits — at web-scale vocabularies word collisions are
+    * expected (birthday bound ~1 per 100k words) and would silently
+    * merge distinct shingles; 64 bits pushes that out past 10^9.
+    */
+  @inline def wordHash64(w: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < w.length) { h = (h ^ w.charAt(i)) * 0x100000001b3L; i += 1 }
+    mix(h)
+  }
+
   /** SQL predicate: row has at least one word token (sketchable). */
   def hasTokensCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.isNotNull && c.rlike("[\\p{L}\\p{N}_]")
@@ -59,14 +71,14 @@ object Dedup extends Serializable {
     val words = tokens(text)
     if (words.isEmpty) return Array.emptyLongArray
     if (words.length < n) {
-      return words.map(w => mix(w.hashCode.toLong)).distinct.sorted
+      return words.map(wordHash64).distinct.sorted
     }
     val out = new java.util.TreeSet[java.lang.Long]()
     var i = 0
     while (i + n <= words.length) {
       var h = 0x2545f4914f6cdd1dL
       var j = i
-      while (j < i + n) { h = mix(h ^ words(j).hashCode.toLong); j += 1 }
+      while (j < i + n) { h = mix(h ^ wordHash64(words(j))); j += 1 }
       out.add(h)
       i += 1
     }
@@ -259,7 +271,7 @@ object Dedup extends Serializable {
   def simhash(text: String): Long = {
     val counts = new Array[Int](64)
     tokens(text).foreach { w =>
-      val h = mix(w.hashCode.toLong)
+      val h = wordHash64(w)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

@@ -247,17 +247,30 @@ object Similarity extends Serializable {
       nAssign: Int = 1
   ): (Array[Array[Float]], DataFrame) = {
     val centroids = kmeansCentroids(df, idCol, embCol, k)
-    val assignU = F.udf { (v: Array[Float]) =>
-      centroids.indices
-        .map(i => (i, cosine(v, centroids(i))))
-        .sortBy { case (i, s) => (-s, i) }
-        .take(nAssign).map(_._1)
-    }
     val assigned =
-      if (nAssign == 1)
-        df.withColumn("__ivf_cell", assignU(F.col(embCol)).getItem(0))
-      else
-        df.withColumn("__ivf_cell", F.explode(assignU(F.col(embCol))))
+      if (nAssign == 1) {
+        // hot path (benched): allocation-free argmax scan per row
+        val argmaxU = F.udf { (v: Array[Float]) =>
+          var best = 0
+          var bestSim = Double.NegativeInfinity
+          var i = 0
+          while (i < centroids.length) {
+            val s = cosine(v, centroids(i))
+            if (s > bestSim) { bestSim = s; best = i }
+            i += 1
+          }
+          best
+        }
+        df.withColumn("__ivf_cell", argmaxU(F.col(embCol)))
+      } else {
+        val topU = F.udf { (v: Array[Float]) =>
+          centroids.indices
+            .map(i => (i, cosine(v, centroids(i))))
+            .sortBy { case (i, s) => (-s, i) }
+            .take(nAssign).map(_._1)
+        }
+        df.withColumn("__ivf_cell", F.explode(topU(F.col(embCol))))
+      }
     (centroids, assigned)
   }
 

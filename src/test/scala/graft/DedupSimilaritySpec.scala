@@ -179,13 +179,14 @@ class DedupSimilaritySpec extends SparkTestBase {
   }
 
   private def ivfRecallAt5(df: org.apache.spark.sql.DataFrame,
-      queries: Seq[Array[Float]], nCells: Int, nprobe: Int): Double = {
+      queries: Seq[Array[Float]], nCells: Int, nprobe: Int,
+      nAssign: Int = 1): Double = {
     val recalls = queries.map { q =>
       val brute = Similarity.topK(df, "vec_id", "embedding",
           q.map(_.toDouble).toSeq, k = 5)
         .collect().map(_.getLong(0)).toSet
       val ivf = Similarity.topKIvf(df, "vec_id", "embedding", q,
-          k = 5, nCells = nCells, nprobe = nprobe)
+          k = 5, nCells = nCells, nprobe = nprobe, nAssign = nAssign)
         .collect().map(_.getLong(0)).toSet
       (brute intersect ivf).size.toDouble / brute.size
     }
@@ -225,22 +226,9 @@ class DedupSimilaritySpec extends SparkTestBase {
     // recall back at 2x index size — the standard structureless knob.
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").persist()
     val queries = emb.filter(col("vec_id") < 12)
-      .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
-    def recallAt5(nAssign: Int): Double = {
-      val rs = queries.map { case (_, q) =>
-        val brute = Similarity.topK(emb, "vec_id", "embedding",
-            q.map(_.toDouble).toSeq, k = 5)
-          .collect().map(_.getLong(0)).toSet
-        val ivf = Similarity.topKIvf(emb, "vec_id", "embedding", q,
-            k = 5, nCells = 8, nprobe = 4, nAssign = nAssign)
-          .collect().map(_.getLong(0)).toSet
-        (brute intersect ivf).size.toDouble / brute.size
-      }
-      rs.sum / rs.length
-    }
-    val single = recallAt5(1)
-    val multi = recallAt5(2)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val single = ivfRecallAt5(emb, queries, nCells = 8, nprobe = 4, nAssign = 1)
+    val multi = ivfRecallAt5(emb, queries, nCells = 8, nprobe = 4, nAssign = 2)
     emb.unpersist()
     assert(single >= 0.55, s"single-assign recall@5 = $single")
     assert(multi >= single, s"multi-assign $multi < single $single")
