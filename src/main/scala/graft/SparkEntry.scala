@@ -400,10 +400,15 @@ object SparkEntry {
 
     // ---- dedup family (synth input; rows-only checks) ----
     "dedup_minhash" -> ((s, dir) => {
-      val t = synthTurns(s, dir)
-        .select(F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).as("id"),
-          F.col("text"))
+      // DuckDB-oracled: the oracle enumerates ALL pairs with exact
+      // string-trigram jaccard >= 0.8; the LSH path must find every
+      // one (the corpus' near-dups sit at j >= 0.89, where the 16x4
+      // banding miss probability is ~1e-7 — and the hashes are
+      // deterministic, so the comparison is stable run to run)
+      val t = tbl(s, dir, "documents")
+        .select(F.col("doc_id").as("id"), F.col("text"))
       Dedup.minhashNearDups(t, "id", "text", threshold = 0.8)
+        .withColumn("jaccard", r6(F.col("jaccard")))
         .orderBy("id_a", "id_b")
     }),
     "dedup_simhash" -> ((s, dir) => {
@@ -762,6 +767,18 @@ object SparkEntry {
           "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
           "round(sum(length(scrubbed)) * 1.0 / count(*), 6) AS avg_chars " +
           "FROM t GROUP BY conv_id ORDER BY conv_id"),
+      "dedup_minhash" ->
+        ("WITH toks AS (SELECT doc_id AS id, " +
+          "list_filter(regexp_split_to_array(lower(text), '[^\\pL\\pN_]+'), x -> x <> '') AS w FROM documents), " +
+          "sh AS (SELECT id, CASE WHEN len(w) < 3 THEN list_distinct(w) " +
+          "ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS grams FROM toks), " +
+          "g AS (SELECT id, unnest(grams) AS g FROM sh), " +
+          "sizes AS (SELECT id, count(*) AS sz FROM g GROUP BY id), " +
+          "pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter " +
+          "FROM g a JOIN g b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2) " +
+          "SELECT id_a, id_b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard " +
+          "FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b " +
+          "WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8 ORDER BY id_a, id_b"),
       "dedup_ngram_jaccard" ->
         ("WITH toks AS (SELECT doc_id AS id, " +
           "list_filter(regexp_split_to_array(lower(text), '[^\\pL\\pN_]+'), x -> x <> '') AS w FROM documents), " +
