@@ -140,6 +140,12 @@ object Dedup extends Serializable {
     * exchange per side for the verify join — O(n), not O(candidates).
     * Guarded by PlanShapeSpec ("no array column in any pair exchange").
     * Token-less rows are excluded (no sketch → no candidates).
+    *
+    * NOTE for production runs: the lazy DAG references `sketched` from
+    * four branches (band self-join sides + the two verify joins), so
+    * Spark recomputes the sketch UDF per branch. Work stays linear,
+    * but at 100 TB materialize the (id, sh) projection first (persist
+    * or a staging table) so the sketch is computed once.
     */
   def minhashNearDups(
       df: DataFrame,
