@@ -71,6 +71,52 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(out((1L, 2L)) - expected) < 1e-9)
   }
 
+  test("simhashNearDups == exhaustive hamming enumeration with rep-collapse (120-doc fixture)") {
+    import spark.implicits._
+    // near-dup families: same base words with small perturbations,
+    // plus exact duplicates (rep-collapse path) and unrelated docs
+    val base = Seq("alpha beta gamma delta epsilon zeta eta theta",
+      "iota kappa lambda mu nu xi omicron pi",
+      "completely different content rho sigma tau upsilon")
+    val docs = (0 until 120).map { i =>
+      val t = base(i % 3) + (if (i % 5 == 0) "" else s" variant${i % 7}")
+      (i.toLong, t)
+    }
+    val got = Dedup.simhashNearDups(docs.toDF("id", "text"), "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // independent enumeration of the SAME semantics: collapse equal
+    // signatures to min-id rep (intra at distance 0), then all rep
+    // pairs within hamming 3
+    val sigs = docs.map { case (id, t) => id -> Dedup.simhash(t) }
+    val reps = sigs.groupBy(_._2).map { case (sig, xs) => sig -> xs.map(_._1).min }
+    val intra = sigs.collect { case (id, sig) if reps(sig) != id => (reps(sig), id, 0) }
+    val repList = reps.toSeq.map { case (sig, id) => (id, sig) }.sortBy(_._1)
+    val inter = for {
+      (a, sa) <- repList; (b, sb) <- repList if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)
+    assert(got == (intra ++ inter).toSet)
+    assert(intra.nonEmpty && inter.nonEmpty) // both paths exercised
+  }
+
+  test("embeddingNearDups == exhaustive band+cosine enumeration (embeddings fixture)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        simThreshold = 0.25, nBits = 8, nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def bandsOf(sig: Long) = (0 until 4).map(b => (b, (sig >>> (b * 2)) & 0x3L)).toSet
+    val sigs = vecs.map { case (id, v) => (id, bandsOf(Similarity.hyperplaneSig(v, 8)), v) }
+    val expected = (for {
+      (a, ba, va) <- sigs; (b, bb, vb) <- sigs
+      if a < b && (ba intersect bb).nonEmpty &&
+        Similarity.cosine(va, vb) >= 0.25
+    } yield (a, b)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("ngramDroppedGrams quantifies the maxGramFreq coverage loss (pairs sharing only a hot gram are lost)") {
     import spark.implicits._
     // "alpha beta gamma" is shared by 3 docs (df=3 > cap 2); every
