@@ -71,6 +71,59 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(out((1L, 2L)) - expected) < 1e-9)
   }
 
+  test("minhashClusters == independent per-id bucket-min computation") {
+    import spark.implicits._
+    val fixture = (0 until 80).map { i =>
+      val t =
+        if (i % 4 == 0) "the quick brown fox jumps over the lazy dog today"
+        else if (i % 4 == 1) "the quick brown fox jumps over the lazy dog now"
+        else if (i % 4 == 2) s"unique content number $i about catalyst internals and codegen"
+        else "???" // token-less → own representative
+      (i.toLong, t)
+    }
+    val got = Dedup.minhashClusters(fixture.toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent computation: bucket → min id; id → min over its buckets
+    val banded = fixture.flatMap { case (id, t) =>
+      val sh = Dedup.shingles(t, 3)
+      if (sh.isEmpty) Seq.empty
+      else Dedup.bandHashes(Dedup.minhashSignature(sh, 64).toIndexedSeq, 16, 4)
+        .map(b => (b, id))
+    }
+    val bucketMin = banded.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).min }
+    val expected = fixture.map { case (id, t) =>
+      val sh = Dedup.shingles(t, 3)
+      id -> (if (sh.isEmpty) id
+        else Dedup.bandHashes(Dedup.minhashSignature(sh, 64).toIndexedSeq, 16, 4)
+          .map(bucketMin).min)
+    }.toMap
+    assert(got == expected)
+    assert(got(4L) == 0L && got(79L) == 79L) // dup family collapses; token-less self
+  }
+
+  test("topKLsh == brute force restricted to band-sharing candidates") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vecs = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+    val q = vecs.find(_._1 == 3L).get._2
+    val got = Similarity.topKLsh(emb, "vec_id", "embedding", q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def bandsOf(v: Array[Float]) = {
+      val sig = Similarity.hyperplaneSig(v, 16)
+      (0 until 4).map(b => (b, (sig >>> (b * 4)) & 0xfL)).toSet
+    }
+    val qb = bandsOf(q)
+    val expected = vecs
+      .filter { case (_, v) => (bandsOf(v) intersect qb).nonEmpty }
+      .map { case (id, v) => (id, Similarity.cosine(v, q)) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(5)
+    assert(got.map(_._1).toSeq == expected.map(_._1).toSeq)
+    got.zip(expected).foreach { case ((_, gs), (_, es)) =>
+      assert(math.abs(gs - es) < 1e-12)
+    }
+  }
+
   test("simhashNearDups == exhaustive hamming enumeration with rep-collapse (120-doc fixture)") {
     import spark.implicits._
     // near-dup families: same base words with small perturbations,
