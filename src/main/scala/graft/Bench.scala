@@ -68,26 +68,32 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** (totalJiffies, stealJiffies) from the /proc/stat "cpu" line;
-    * (0,0) when unreadable (non-Linux).
+  /** (totalJiffies, stealJiffies, systemJiffies) from the /proc/stat
+    * "cpu" line; zeros when unreadable (non-Linux).
     */
-  def readSteal(): (Long, Long) =
+  def readSteal(): (Long, Long, Long) =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
         val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        (f.sum, if (f.length > 7) f(7) else 0L)
+        (f.sum, if (f.length > 7) f(7) else 0L, if (f.length > 2) f(2) else 0L)
       } finally src.close()
-    } catch { case _: Throwable => (0L, 0L) }
+    } catch { case _: Throwable => (0L, 0L, 0L) }
 
-  /** One timed rep + the steal%% of total machine jiffies during it. */
-  def timeWithSteal(f: => Unit): (Double, Double) = {
-    val (tot0, st0) = readSteal()
+  /** One timed rep + the steal%% AND system%% of machine jiffies during
+    * it. Two distinct degradation modes observed on this VM: classic
+    * steal bursts, and a mode where steal reads ~0 but kernel (system)
+    * time balloons to several× user time — sys%% makes the second one
+    * legible in the artifact too.
+    */
+  def timeWithSteal(f: => Unit): (Double, Double, Double) = {
+    val (tot0, st0, sy0) = readSteal()
     val sec = time(f)
-    val (tot1, st1) = readSteal()
-    val stealPct =
-      if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0
-    (sec, stealPct)
+    val (tot1, st1, sy1) = readSteal()
+    val d = (tot1 - tot0).toDouble
+    val stealPct = if (d > 0) 100.0 * (st1 - st0) / d else 0.0
+    val sysPct = if (d > 0) 100.0 * (sy1 - sy0) / d else 0.0
+    (sec, stealPct, sysPct)
   }
 
   /** Transcript turns for the curate throughput metric, scaled to the
@@ -106,7 +112,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = session(cpus)
 
-    val (benchTot0, benchSt0) = readSteal()
+    val (benchTot0, benchSt0, _) = readSteal()
 
     // warmup: small end-to-end pass (codegen + JIT + model training)
     forceMaterialize(Curate.curateDf(spark, Transcripts.dataset(spark, 50).toDF()))
@@ -130,10 +136,10 @@ object Bench {
         forceMaterialize(fn(spark, sfDir)) // warm: plan compile + codegen
         val n = if (tripleRep(name)) 3 else 2
         (1 to n).map(_ => timeWithSteal(forceMaterialize(fn(spark, sfDir))))
-      } catch { case _: Throwable => Seq((-1.0, 0.0)) }
+      } catch { case _: Throwable => Seq((-1.0, 0.0, 0.0)) }
       (name, reps.map(_._1).min, reps)
     }
-    val (benchTot1, benchSt1) = readSteal()
+    val (benchTot1, benchSt1, _) = readSteal()
     val benchStealPct =
       if (benchTot1 > benchTot0) 100.0 * (benchSt1 - benchSt0) / (benchTot1 - benchTot0)
       else 0.0
@@ -149,14 +155,18 @@ object Bench {
       ("curate_pipeline" -> curateReps))
       .map { case (k, reps) => "\"" + k + "\":" + jArr(reps.map(_._2)) }
       .mkString("{", ",", "}")
+    val sysJson = (results.map { case (k, _, reps) => k -> reps } :+
+      ("curate_pipeline" -> curateReps))
+      .map { case (k, reps) => "\"" + k + "\":" + jArr(reps.map(_._3)) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + curateSec
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","cpus":$cpus,"curate_turns":$nTurns,""" +
         s""""curate_sec":${f"$curateSec%.3f"},"turns_per_sec":${f"$turnsPerSec%.1f"},""" +
-        s""""rep_sec":$repJson,"rep_steal_pct":$stealJson,""" +
+        s""""rep_sec":$repJson,"rep_steal_pct":$stealJson,"rep_sys_pct":$sysJson,""" +
         s""""bench_steal_pct":${f"$benchStealPct%.2f"},""" +
-        s""""timing":"min-of-reps; rep_steal_pct = /proc/stat steal share during that rep"}""")
+        s""""timing":"min-of-reps; rep_steal_pct/rep_sys_pct = /proc/stat steal and system share during that rep (two observed degradation modes)"}""")
     spark.stop()
   }
 }

@@ -18,7 +18,8 @@ object BenchOne {
     val out = (1 to reps).map(_ => Bench.timeWithSteal(Bench.forceMaterialize(fn(spark, sfDir))))
     println(s"""{"query":"$name","sf":"$sfDir","cpus":$cpus,""" +
       s""""rep_sec":${out.map(x => f"${x._1}%.3f").mkString("[", ",", "]")},""" +
-      s""""rep_steal_pct":${out.map(x => f"${x._2}%.2f").mkString("[", ",", "]")}}""")
+      s""""rep_steal_pct":${out.map(x => f"${x._2}%.2f").mkString("[", ",", "]")},""" +
+      s""""rep_sys_pct":${out.map(x => f"${x._3}%.2f").mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }

@@ -22,7 +22,7 @@ object ScalingBench {
     * (/proc/stat), so single-shot wall times are unreliable; the MIN
     * over repetitions approximates the un-stolen cost at each level.
     */
-  def runAt(cpus: Int, inputPath: String, reps: Int = 5): (Long, Seq[(Double, Double)]) = {
+  def runAt(cpus: Int, inputPath: String, reps: Int = 5): (Long, Seq[(Double, Double, Double)]) = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
@@ -38,11 +38,12 @@ object ScalingBench {
     val turns = spark.read.parquet(inputPath)
     val n = turns.count()
     val times = (1 to reps).map { i =>
-      val (s, st) = Bench.timeWithSteal {
+      val (s, st, sy) = Bench.timeWithSteal {
         Bench.forceMaterialize(Curate.curateDf(spark, turns))
       }
-      System.err.println(f"[scaling] cpus=$cpus rep=$i sec=$s%.3f steal=$st%.1f%%")
-      (s, st)
+      System.err.println(
+        f"[scaling] cpus=$cpus rep=$i sec=$s%.3f steal=$st%.1f%% sys=$sy%.1f%%")
+      (s, st, sy)
     }
     spark.stop()
     (n, times)
@@ -89,6 +90,7 @@ object ScalingBench {
         s""""low_turns_per_sec":${f"$tp1%.1f"},"high_turns_per_sec":${f"$tp2%.1f"},""" +
         s""""low_rep_sec":${arr(reps1.map(_._1))},"high_rep_sec":${arr(reps2.map(_._1))},""" +
         s""""low_rep_steal_pct":${arr(reps1.map(_._2))},"high_rep_steal_pct":${arr(reps2.map(_._2))},""" +
-        s""""timing":"min-of-5; rep_steal_pct = /proc/stat steal share during that rep"}""")
+        s""""low_rep_sys_pct":${arr(reps1.map(_._3))},"high_rep_sys_pct":${arr(reps2.map(_._3))},""" +
+        s""""timing":"min-of-5; rep_steal_pct/rep_sys_pct = /proc/stat steal and system share during that rep"}""")
   }
 }

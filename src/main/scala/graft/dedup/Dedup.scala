@@ -219,7 +219,10 @@ object Dedup extends Serializable {
     // bucket min via window (one shuffle on (band, bh)) instead of a
     // groupBy + self-join, which would re-run the sketch UDF over the
     // whole corpus for the second DAG branch; token-less rows (null
-    // band from explode_outer) fall into per-id singleton buckets
+    // band from explode_outer) fall into per-id singleton buckets.
+    // Skew note: a hot bucket sorts on one task (O(g log g)) — same
+    // single-reducer locality the join shape had, with the sketch
+    // computed once instead of twice (measured 2.6x at sf0.1)
     val w = Window.partitionBy(F.col("band"),
       F.when(F.col("band").isNull, F.col("id")).otherwise(F.col("bh")))
     banded

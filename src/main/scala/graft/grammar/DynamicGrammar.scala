@@ -34,7 +34,13 @@ object DynamicGrammar extends Serializable {
     }
   }
 
-  /** Pattern template bank — cfg_generator.py:781-808, verbatim. */
+  /** Pattern template bank — cfg_generator.py:781-808, verbatim.
+    * NOTE: the templates containing the nonterminal "NP" in their
+    * pattern (V NP → VP, P NP → PP) can never match — tag sequences
+    * contain only terminal POS tags. The REFERENCE has the identical
+    * dead templates (its matching also runs over POS tags only,
+    * cfg_generator.py:810-820); kept for faithfulness.
+    */
   val patterns: Seq[(Seq[String], String)] = Seq(
     // sentence patterns
     Seq("N", "V") -> "S",
