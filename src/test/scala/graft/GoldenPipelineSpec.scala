@@ -231,6 +231,33 @@ class GoldenPipelineSpec extends SparkTestBase {
     assert(byIdx(1) == "too_long")
   }
 
+  test("fused == unfused on 300 seeded random unicode strings (fuzz)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val fragments = Array(
+      "the", "dog", "Cookie Policy", "he are", "focus on", "https://x.io/a",
+      "bob@ex.com", "+1 555 123 4567", "frak", "!!", "...", "??", "\t", "\n",
+      " ", " ", "😀", "🎉", "是的", "同意", "naïve", "Ünïcode",
+      "dup dup dup dup dup", "x", "", "   ", "sk-abcdefghijklmnop1234",
+      "WORD", "ing", "ly", ".", "?", "a b c d e f g h i j")
+    val texts = (0 until 300).map { _ =>
+      val n = 1 + rnd.nextInt(40)
+      (0 until n).map(_ => fragments(rnd.nextInt(fragments.length)))
+        .mkString(if (rnd.nextBoolean()) " " else "  ")
+    }
+    val rows = texts.zipWithIndex.map { case (t, i) =>
+      ("conv-f", i, "user", t, "none", new java.sql.Timestamp(0L))
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ppl", when(isnan(col("ppl")), -1.0).otherwise(round(col("ppl"), 9)))
+      .select("turn_idx", "lang", "lang_conf", "keep", "drop_reason",
+        "scrubbed_text", "scrub_hits", "rule_hits")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.toString)
+    assert(norm(Curate.curateDf(spark, rows)).toSeq ==
+      norm(Curate.curateDfUnfused(spark, rows)).toSeq)
+  }
+
   test("order invariance: decisions identical under repartition + shuffled input (SURVEY.md §5 property)") {
     import org.apache.spark.sql.functions._
     val ds = Transcripts.dataset(spark, 40L).toDF()

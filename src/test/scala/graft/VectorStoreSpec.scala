@@ -80,6 +80,26 @@ class VectorStoreSpec extends SparkTestBase {
     assert(left == Set("abc", "3"), s"got $left")
   }
 
+  test("crash between partition move and manifest write: store stays consistent, delete re-run is a no-op") {
+    val (vs, base) = freshStore("crash")
+    vs.add(rows(0 until 16, "web"))
+    // simulate the crash: rewrite one affected partition WITHOUT its
+    // manifest update (TableIO's manifest write is the commit point)
+    val full = TableIO.read(spark, base)
+    val victim = full.filter(col("id") === "doc-5")
+      .select(TableIO.PART_COL).head().getInt(0)
+    val keep = TableIO.readPartition(spark, base, victim).filter(col("id") =!= "doc-5")
+    TableIO.commitPartition(keep, base, victim) // moved into place...
+    // ...crash here: manifest not rewritten. Partition is still listed
+    // (old manifest), directory has the post-delete data → no dup, no
+    // phantom row
+    assert(vs.count() == 15)
+    assert(!vs.read().select("id").collect().map(_.getString(0)).contains("doc-5"))
+    // re-running the delete (the resume path) is a no-op
+    assert(vs.deleteByIds(Seq("doc-5")) == 0L)
+    assert(vs.count() == 15)
+  }
+
   test("reset drops the collection; export writes the reference JSON shape") {
     val (vs, _) = freshStore("reset")
     vs.add(rows(0 until 5, "web"))
