@@ -47,6 +47,36 @@ object TextMetricsUtil {
     */
   def fingerprint(s: UTF8String): Long =
     if (s == null) 0L else graft.textstats.TextStats.fingerprint(s.toString)
+
+  /** Distinct lowercased \s+-token ratio — bit-identical to the
+    * built-in chain
+    * `size(array_distinct(array_remove(split(lower(x), "\\s+"), ""))) /
+    *  size(array_remove(split(lower(x), "\\s+"), ""))`
+    * including the lower() (UTF8String.toLowerCase) and Java-regex
+    * ASCII \s token boundaries, and NaN for token-less input (the
+    * chain's 0.0/0 division) — but single-pass, no array allocation.
+    */
+  def distinctRatio(s: UTF8String): Double = {
+    if (s == null) return Double.NaN
+    val t = s.toLowerCase.toString
+    val set = new java.util.HashSet[String]()
+    var total = 0
+    var i = 0
+    var start = -1
+    @inline def asciiWs(c: Char) =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    while (i <= t.length) {
+      val isWs = i == t.length || asciiWs(t.charAt(i))
+      if (!isWs && start < 0) start = i
+      else if (isWs && start >= 0) {
+        set.add(t.substring(start, i))
+        total += 1
+        start = -1
+      }
+      i += 1
+    }
+    if (total == 0) Double.NaN else set.size.toDouble / total
+  }
 }
 
 /** Custom Catalyst expressions (SURVEY.md §2.13 "Catalyst Expression
@@ -84,6 +114,19 @@ case class SymbolRatioExpr(child: Expression)
   override def prettyName: String = "graft_symbol_ratio"
 }
 
+case class DistinctRatioExpr(child: Expression)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    TextMetricsUtil.distinctRatio(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextMetricsUtil.distinctRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression): DistinctRatioExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_distinct_ratio"
+}
+
 case class FingerprintExpr(child: Expression)
     extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -102,6 +145,7 @@ object TextMetrics {
   def word_count(c: Column): Column = GraftBridge.column(WordCountExpr(GraftBridge.expression(c)))
   def symbol_ratio(c: Column): Column = GraftBridge.column(SymbolRatioExpr(GraftBridge.expression(c)))
   def fingerprint(c: Column): Column = GraftBridge.column(FingerprintExpr(GraftBridge.expression(c)))
+  def distinct_ratio(c: Column): Column = GraftBridge.column(DistinctRatioExpr(GraftBridge.expression(c)))
 
   /** Register as SQL functions on a session (spark.sql("... graft_word_count(text) ...")). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -112,5 +156,7 @@ object TextMetrics {
       es => SymbolRatioExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_fingerprint",
       es => FingerprintExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_distinct_ratio",
+      es => DistinctRatioExpr(es.head), "scala_udf")
   }
 }

@@ -123,7 +123,16 @@ object QualityRules extends Serializable {
     F.when(F.length(F.trim(c)) === 0, F.lit(0))
       .otherwise(F.size(F.split(F.trim(c), "\\s+")))
 
-  def distinctRatioCol(c: Column): Column = {
+  /** Custom codegen expression (single pass, no array allocation) —
+    * value-identical to the built-in chain it replaced, which stays
+    * available as [[distinctRatioColBuiltins]] and is asserted equal
+    * in FunctionsSpec (and via the q9 DuckDB oracle).
+    */
+  def distinctRatioCol(c: Column): Column =
+    graft.functions.TextMetrics.distinct_ratio(c)
+
+  /** The built-ins formulation (split + array_remove + array_distinct). */
+  def distinctRatioColBuiltins(c: Column): Column = {
     val words = F.array_remove(F.split(F.lower(c), "\\s+"), "")
     F.size(F.array_distinct(words)).cast("double") / F.size(words)
   }

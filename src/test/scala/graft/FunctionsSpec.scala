@@ -37,6 +37,30 @@ class FunctionsSpec extends SparkTestBase {
     assert(rows(6L)._1 == 3)
   }
 
+  test("distinct_ratio expression == built-in chain on fixtures + documents corpus") {
+    import spark.implicits._
+    val fixtures = Seq("a b a b", "x", "A a B b", "dup dup dup",
+      "tab\tsep\nlines", " lead and trail ", "我们 我们 数据").toDF("t")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text").as("t"))
+    Seq(fixtures, docs).foreach { df =>
+      val rows = df.select(
+          TextMetrics.distinct_ratio(col("t")).as("expr"),
+          graft.rules.QualityRules.distinctRatioColBuiltins(col("t")).as("chain"))
+        .collect()
+      rows.foreach { r =>
+        val (e, c) = (r.getDouble(0), r.getDouble(1))
+        assert(math.abs(e - c) < 1e-12, s"$e vs $c")
+      }
+    }
+    // token-less input: the ANSI built-in chain THROWS (divide by zero);
+    // the expression degrades to NaN — strictly safer, and unreachable
+    // in the pipeline (repetition rule gated on wc >= repMinWords)
+    val nan = Seq("  ", "").toDF("t")
+      .select(TextMetrics.distinct_ratio(col("t"))).collect()
+    assert(nan.forall(_.getDouble(0).isNaN))
+  }
+
   test("SQL registration works (graft_word_count in spark.sql)") {
     TextMetrics.register(spark)
     df.createOrReplaceTempView("fdocs")
