@@ -78,6 +78,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("q9 distinct_ratio runs as the inline codegen expression (no array chain, no UDF)") {
+    val p = plan("q9_quality")
+    assert(p.contains("graft_distinct_ratio"), p)
+    assert(!p.contains("array_distinct"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
+
   test("q16 custom expressions are inline in the Project (no UDF wrapper)") {
     // (whole-stage-codegen participation itself is asserted in
     // FunctionsSpec on a non-AQE plan; AQE plans don't render "*(n)"
