@@ -147,18 +147,14 @@ object Bench {
     val qs = (results.map { case (k, v, _) => k -> v } :+ ("curate_pipeline" -> curateSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val repJson = (results.map { case (k, _, reps) => k -> reps } :+
-      ("curate_pipeline" -> curateReps))
-      .map { case (k, reps) => "\"" + k + "\":" + jArr(reps.map(_._1)) }
-      .mkString("{", ",", "}")
-    val stealJson = (results.map { case (k, _, reps) => k -> reps } :+
-      ("curate_pipeline" -> curateReps))
-      .map { case (k, reps) => "\"" + k + "\":" + jArr(reps.map(_._2)) }
-      .mkString("{", ",", "}")
-    val sysJson = (results.map { case (k, _, reps) => k -> reps } :+
-      ("curate_pipeline" -> curateReps))
-      .map { case (k, reps) => "\"" + k + "\":" + jArr(reps.map(_._3)) }
-      .mkString("{", ",", "}")
+    val keyedReps = results.map { case (k, _, reps) => k -> reps } :+
+      ("curate_pipeline" -> curateReps)
+    def repField(get: ((Double, Double, Double)) => Double): String =
+      keyedReps.map { case (k, reps) => "\"" + k + "\":" + jArr(reps.map(get)) }
+        .mkString("{", ",", "}")
+    val repJson = repField(_._1)
+    val stealJson = repField(_._2)
+    val sysJson = repField(_._3)
     val total = results.map(_._2).filter(_ >= 0).sum + curateSec
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +

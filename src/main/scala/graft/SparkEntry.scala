@@ -398,11 +398,13 @@ object SparkEntry {
         .orderBy("sentence")
     }),
 
-    // ---- dedup family (synth input; rows-only checks) ----
+    // ---- dedup family (dedup_minhash / dedup_ngram_jaccard are
+    // DuckDB-oracled over documents; the rest run on synth turns with
+    // exhaustive in-test enumeration oracles) ----
     "dedup_minhash" -> ((s, dir) => {
       // DuckDB-oracled: the oracle enumerates ALL pairs with exact
       // string-trigram jaccard >= 0.8; the LSH path must find every
-      // one (the corpus' near-dups sit at j >= 0.89, where the 16x4
+      // one (the corpus' near-dups sit at j >= 0.888, where the 16x4
       // banding miss probability is ~1e-7 — and the hashes are
       // deterministic, so the comparison is stable run to run)
       val t = tbl(s, dir, "documents")

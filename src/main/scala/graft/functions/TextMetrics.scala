@@ -48,13 +48,16 @@ object TextMetricsUtil {
   def fingerprint(s: UTF8String): Long =
     if (s == null) 0L else graft.textstats.TextStats.fingerprint(s.toString)
 
-  /** Distinct lowercased \s+-token ratio — bit-identical to the
+  /** Distinct lowercased \s+-token ratio — value-identical to the
     * built-in chain
     * `size(array_distinct(array_remove(split(lower(x), "\\s+"), ""))) /
     *  size(array_remove(split(lower(x), "\\s+"), ""))`
-    * including the lower() (UTF8String.toLowerCase) and Java-regex
-    * ASCII \s token boundaries, and NaN for token-less input (the
-    * chain's 0.0/0 division) — but single-pass, no array allocation.
+    * on every token-ful input (same lower() = UTF8String.toLowerCase,
+    * same Java-regex ASCII \s token boundaries), single-pass with no
+    * array allocation. DELIBERATE delta on token-less input: the chain
+    * divides by zero (ANSI error / non-ANSI NULL); this returns NaN —
+    * unreachable in the pipeline (repetition rule gates on
+    * wc >= repMinWords) and asserted in FunctionsSpec.
     */
   def distinctRatio(s: UTF8String): Double = {
     if (s == null) return Double.NaN

@@ -251,7 +251,7 @@ class GoldenPipelineSpec extends SparkTestBase {
     }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
     def norm(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("ppl", when(isnan(col("ppl")), -1.0).otherwise(round(col("ppl"), 9)))
-      .select("turn_idx", "lang", "lang_conf", "keep", "drop_reason",
+      .select("turn_idx", "lang", "lang_conf", "ppl", "keep", "drop_reason",
         "scrubbed_text", "scrub_hits", "rule_hits")
       .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.toString)
     assert(norm(Curate.curateDf(spark, rows)).toSeq ==
