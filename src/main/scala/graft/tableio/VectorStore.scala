@@ -40,6 +40,7 @@ final class VectorStore(spark: SparkSession, base: String, nBuckets: Int = 16) {
     * partitions receiving new rows are rewritten.
     */
   def add(df: DataFrame): Unit = {
+    require(df.columns.contains("id"), "VectorStore rows need a string `id` column")
     val batch = df.withColumn(TableIO.PART_COL, bucketOf(F.col("id"))).cache()
     try {
       val affected = batch.select(TableIO.PART_COL).distinct()
