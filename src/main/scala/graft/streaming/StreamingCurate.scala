@@ -53,6 +53,24 @@ object StreamingCurate {
         F.coalesce(F.col("drop_reason"), F.lit("kept")).as("outcome"))
       .agg(F.count(F.lit(1)).as("n"))
 
+  /** Streaming exact dedup (P9's streaming twin): drop turns whose
+    * content hash was already seen within the watermark horizon —
+    * the at-least-once-replay / duplicate-feed guard for an
+    * incremental ingest. State is bounded by the watermark (Spark
+    * evicts seen keys older than the horizon), so this survives an
+    * unbounded stream — unlike a plain dropDuplicates, whose state
+    * grows forever.
+    */
+  def dedupStream(
+      turns: DataFrame,
+      watermark: String = "1 hour"
+  ): DataFrame =
+    turns
+      .withColumn("__content_hash", F.md5(F.col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
+
   final case class ConvState(turns: Long, kept: Long, lastTurnIdx: Int)
   final case class ConvUpdate(conv_id: String, turns: Long, kept: Long,
       keep_rate: Double, last_turn_idx: Int)

@@ -73,6 +73,37 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming exact dedup within watermark drops replayed duplicate turns") {
+    import spark.implicits._
+    val in = s"/tmp/graft-stream-dedup-${System.nanoTime()}"
+    val ckpt = s"/tmp/graft-stream-dedupck-${System.nanoTime()}"
+    try {
+      val base = Transcripts.dataset(spark, 6L).toDF()
+      // replay: the same turns written twice (duplicate feed), plus the
+      // originals — streaming dedup must emit each distinct text once
+      base.write.mode("overwrite").parquet(in)
+      base.limit(40).write.mode("append").parquet(in)
+      val stream = spark.readStream
+        .schema(StreamingCurate.turnSchema).parquet(in)
+      val q = StreamingCurate.dedupStream(stream)
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table("dedup_out")
+      val distinctTexts = spark.read.parquet(in)
+        .select("text").distinct().count()
+      assert(got.count() == distinctTexts,
+        s"expected $distinctTexts unique-text turns, got ${got.count()}")
+      assert(got.select("text").distinct().count() == distinctTexts)
+    } finally {
+      TableIO.deleteRecursive(Paths.get(in))
+      TableIO.deleteRecursive(Paths.get(ckpt))
+    }
+  }
+
   test("per-conversation running state via mapGroupsWithState") {
     import spark.implicits._
     val in = s"/tmp/graft-stream-state-${System.nanoTime()}"
