@@ -227,6 +227,44 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(sigs7 == sigs)
   }
 
+  test("convNearDups == exhaustive band+signature-agreement enumeration") {
+    import spark.implicits._
+    // 30 conversations: families of near-identical conversations (one
+    // turn perturbed) + unrelated ones
+    val convs = (0 until 30).map { c =>
+      val base =
+        if (c % 3 == 0) Seq("the quick brown fox jumps over the lazy dog",
+          "pack my box with five dozen liquor jugs today")
+        else if (c % 3 == 1) Seq("the quick brown fox jumps over the lazy dog",
+          s"pack my box with five dozen liquor jugs variant${c % 6}")
+        else Seq(s"entirely unrelated conversation number $c about codegen",
+          s"with different content $c in every single turn")
+      base.map(t => (f"c$c%03d", t))
+    }
+    val turns = convs.flatten.toDF("conv_id", "text")
+    val threshold = 0.7
+    val got = Dedup.convNearDups(turns, threshold = threshold)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // independent enumeration: per-conv union-shingle signature, band
+    // on it, pairs sharing >= 1 band with signature agreement >= thr
+    val sigs = convs.map { c =>
+      val union = c.flatMap { case (_, t) => Dedup.shingles(t, 3) }.distinct.toArray
+      c.head._1 -> Dedup.minhashSignature(union, 64)
+    }.sortBy(_._1)
+    def bands(sig: Array[Long]) =
+      Dedup.bandHashes(sig.toIndexedSeq, 16, 4).toSet
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && (bands(sa) intersect bands(sb)).nonEmpty
+      agree = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length
+      if agree >= threshold
+    } yield (a, b)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty)
+    assert(!expected.exists { case (a, b) => // unrelated convs never pair
+      a.stripPrefix("c").toInt % 3 == 2 || b.stripPrefix("c").toInt % 3 == 2 })
+  }
+
   test("cosineCol column expression == scala cosine") {
     import spark.implicits._
     val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-1.0f, 0.5f, 0.0f)))
