@@ -160,7 +160,8 @@ object Dedup extends Serializable {
     val rows = numHashes / bands
     val shU = F.udf((t: String) => shingles(t, shingleSize))
     val bandU = F.udf((sh: Array[Long]) =>
-      bandHashes(minhashSignature(sh, numHashes), bands, rows))
+      bandHashes(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        minhashSignature(sh, numHashes)), bands, rows))
     val jacU = F.udf((a: Array[Long], b: Array[Long]) => jaccard(a, b))
 
     val sketched = df
@@ -210,7 +211,8 @@ object Dedup extends Serializable {
     val bandU = F.udf { (t: String) =>
       val sh = shingles(t, shingleSize)
       if (sh.isEmpty) Seq.empty[(Int, Long)]
-      else bandHashes(minhashSignature(sh, numHashes), bands, rows)
+      else bandHashes(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        minhashSignature(sh, numHashes)), bands, rows)
     }
     val banded = df
       .select(F.col(idCol).as("id"), bandU(F.col(textCol)).as("bs"))
