@@ -39,7 +39,7 @@ object Bench {
     "ann_lsh", "ann_ivf", "ann_batch_lsh",
     "langid_documents", "quality_score", "fingerprint", "chunk_documents",
     "html_extract", "perplexity_turns",
-    "multimodal_features")
+    "multimodal_features", "curate_cheap")
 
   /** Queries whose single-run variance was flagged in round 1 — min-of-3. */
   private val tripleRep = Set("dedup_conversations")
@@ -156,13 +156,20 @@ object Bench {
     val stealJson = repField(_._2)
     val sysJson = repField(_._3)
     val total = results.map(_._2).filter(_ >= 0).sum + curateSec
+    // Two lines, diagnostics FIRST and the compact headline LAST: the
+    // round-2 driver artifact lost the headline because the ~6 KB
+    // single line overflowed the driver's tail-capture window — the
+    // tail keeps line ENDS, so the parseable record must be the final
+    // line and must stay small.
+    println(
+      s"""{"metric":"bench_diagnostics","rep_sec":$repJson,""" +
+        s""""rep_steal_pct":$stealJson,"rep_sys_pct":$sysJson,""" +
+        s""""timing":"min-of-reps; rep_steal_pct/rep_sys_pct = /proc/stat steal and system share during that rep (two observed degradation modes)"}""")
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","cpus":$cpus,"curate_turns":$nTurns,""" +
         s""""curate_sec":${f"$curateSec%.3f"},"turns_per_sec":${f"$turnsPerSec%.1f"},""" +
-        s""""rep_sec":$repJson,"rep_steal_pct":$stealJson,"rep_sys_pct":$sysJson,""" +
-        s""""bench_steal_pct":${f"$benchStealPct%.2f"},""" +
-        s""""timing":"min-of-reps; rep_steal_pct/rep_sys_pct = /proc/stat steal and system share during that rep (two observed degradation modes)"}""")
+        s""""bench_steal_pct":${f"$benchStealPct%.2f"}}""")
     spark.stop()
   }
 }

@@ -83,14 +83,18 @@ object ScalingBench {
     val k = highCpus.toDouble / lowCpus
     val eff = tp2 / (k * tp1)
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    // Diagnostics first, compact headline LAST (tail-capture keeps
+    // line ends — see the same note in Bench.main).
     println(
-      s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio",""" +
-        s""""turns":$n1,"low_cpus":$lowCpus,"high_cpus":$highCpus,""" +
-        s""""low_sec":${f"$sec1%.3f"},"high_sec":${f"$sec2%.3f"},""" +
-        s""""low_turns_per_sec":${f"$tp1%.1f"},"high_turns_per_sec":${f"$tp2%.1f"},""" +
+      s"""{"metric":"scaling_diagnostics",""" +
         s""""low_rep_sec":${arr(reps1.map(_._1))},"high_rep_sec":${arr(reps2.map(_._1))},""" +
         s""""low_rep_steal_pct":${arr(reps1.map(_._2))},"high_rep_steal_pct":${arr(reps2.map(_._2))},""" +
         s""""low_rep_sys_pct":${arr(reps1.map(_._3))},"high_rep_sys_pct":${arr(reps2.map(_._3))},""" +
         s""""timing":"min-of-5; rep_steal_pct/rep_sys_pct = /proc/stat steal and system share during that rep"}""")
+    println(
+      s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio",""" +
+        s""""turns":$n1,"low_cpus":$lowCpus,"high_cpus":$highCpus,""" +
+        s""""low_sec":${f"$sec1%.3f"},"high_sec":${f"$sec2%.3f"},""" +
+        s""""low_turns_per_sec":${f"$tp1%.1f"},"high_turns_per_sec":${f"$tp2%.1f"}}""")
   }
 }

@@ -53,6 +53,39 @@ object SparkEntry {
   private val plantedPii = " contact bob@example.com or https://ex.co/a now !!"
   private val plantedErrors = " he are happy and they is here. it focus on the data."
 
+  /** Doc-derived transcript turns for the ORACLED flagship decision
+    * (`curate_cheap` / `curate_metrics_cheap`): conv = source, turn
+    * order = doc_id. Deterministic planted rows make every cheap-rule
+    * branch and the scrub non-vacuous (mirrored verbatim in the oracle
+    * SQL):
+    *   doc_id % 13 == 2 → pure repetition text ("spam" × 60)
+    *   doc_id % 13 == 3 → high-symbol text ("wN###" × 60)
+    *   doc_id % 13 == 4 → 60 distinct words + a boilerplate tail
+    *   doc_id % 5  == 0 → PII tail appended (url + email + "!!")
+    */
+  private def cheapTurns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val d = F.col("doc_id")
+    val nums = F.sequence(F.lit(1), F.lit(60))
+    val repText = F.concat_ws(" ", F.transform(nums, _ => F.lit("spam")))
+    val symText = F.concat_ws(" ", F.transform(nums,
+      i => F.concat(F.lit("w"), i.cast("string"), F.lit("###"))))
+    val boilText = F.concat(
+      F.concat_ws(" ", F.transform(nums,
+        i => F.concat(F.lit("word"), i.cast("string")))),
+      F.lit(" Subscribe to our newsletter"))
+    val base = F.when(d % 13 === 2, repText)
+      .when(d % 13 === 3, symText)
+      .when(d % 13 === 4, boilText)
+      .otherwise(F.col("text"))
+    val planted = F.when(d % 5 === 0, F.concat(base, F.lit(plantedPii))).otherwise(base)
+    tbl(s, dir, "documents")
+      .select(F.col("source").as("conv_id"),
+        F.row_number().over(w).as("turn_idx"),
+        F.lit("user").as("role"), planted.as("text"),
+        F.lit("").as("tool"), F.lit(null).cast("timestamp").as("ts"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core over driver tables (DuckDB-oracled) ----
     "q1_agg" -> ((s, dir) => {
@@ -245,6 +278,78 @@ object SparkEntry {
       Curate.metrics(curated(s, dir))
         .withColumn("dropped_by_rule", F.to_json(F.col("dropped_by_rule")))
         .withColumn("scrub_hit_counts", F.to_json(F.col("scrub_hit_counts")))),
+    "curate_cheap" -> ((s, dir) =>
+      // THE flagship keep/drop decision under the DuckDB oracle: the
+      // REAL pipeline (fused CurateCore kernel, full scrub bank) with
+      // the cheap-rules-only config — every remaining rule and the
+      // scrub are deterministic string functions, so the COMPOSED
+      // decision (ordered first-failure drop_reason + scrubbed text),
+      // not just its q5/q7/q9 components, is value-compared against an
+      // independent SQL CASE chain. Reference: the gate rebuilt from
+      // smart_corrector.py:114-128.
+      Curate.curateDf(s, cheapTurns(s, dir), QualityRules.cheapConfig)
+        .select(F.col("conv_id"), F.col("turn_idx"), F.col("keep"),
+          F.coalesce(F.col("drop_reason"), F.lit("none")).as("drop_reason"),
+          F.col("scrubbed_text"))
+        .orderBy("conv_id", "turn_idx")),
+    "curate_metrics_cheap" -> ((s, dir) =>
+      // A2 metrics over the same cheap-config run — dropped_by_rule and
+      // scrub_hit_counts maps (canonical sorted-key JSON) vs SQL-built
+      // strings with staged per-pattern scrub counts
+      Curate.metrics(Curate.curateDf(s, cheapTurns(s, dir), QualityRules.cheapConfig))
+        .withColumn("dropped_by_rule", F.to_json(F.col("dropped_by_rule")))
+        .withColumn("scrub_hit_counts", F.to_json(F.col("scrub_hit_counts")))),
+    "conv_last3" -> ((s, dir) => {
+      // A8 conversation summary (rag_chatbot.py:264-285) over
+      // doc-derived turns: the Python list[-3:] slice semantics under
+      // the DuckDB oracle (list[-3:] is native there) — the oracled
+      // twin of conv_reassemble_curated's last_3_roles
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      tbl(s, dir, "documents")
+        .select(F.col("source").as("conv_id"),
+          F.row_number().over(w).as("turn_idx"),
+          F.concat(F.lit("role"), (F.col("doc_id") % 4).cast("string")).as("role"))
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).as("n_turns"),
+          F.array_join({
+            val roles = F.transform(
+              F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("role")))),
+              x => x.getField("role"))
+            F.when(F.size(roles) < 3, roles).otherwise(F.slice(roles, -3, 3))
+          }, "|").as("last_3_roles"))
+        .orderBy("conv_id")
+    }),
+    "grammar_context" -> ((s, dir) => {
+      // G4 ±100-char **-highlighted context in a driver row: a known
+      // error planted at the head of each doc; the oracle rebuilds the
+      // window with pure substring arithmetic. includePos=false so
+      // natural-corpus noun-"are" bigrams can't produce hits the SQL
+      // can't predict (the POS rule is parity-pinned separately); the
+      // 12 regex rules match NOWHERE in the natural corpus (established
+      // by grammar_hits_summary: only the planted rule_ids have n>0).
+      val u = F.udf((t: String) => {
+        val hs = GrammarRules.ruleHits(t, includePos = false, withContext = true)
+        hs.headOption.map(h => (h.rule_id, h.snippet, h.context))
+      })
+      val planted = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"),
+        F.lit(". he are happy. "), F.col("text"))
+      tbl(s, dir, "documents")
+        .select(F.col("doc_id"), u(planted).as("h"))
+        .select(F.col("doc_id"), F.col("h._1").as("rule_id"),
+          F.col("h._2").as("snippet"), F.col("h._3").as("context"))
+        .orderBy("doc_id")
+    }),
+    "dedup_ngram_dropped" -> ((s, dir) => {
+      // ngramJaccardPairs' coverage loss surfaced in the driver record
+      // (the pair path LOSES pairs whose only shared grams exceed the
+      // cap): dropped-gram tally at a deliberately low cap, DuckDB-
+      // oracled (hashed grams are collision-free at this scale, so
+      // hashed-gram counts == string-gram counts)
+      val t = tbl(s, dir, "documents").select(F.col("doc_id").as("id"), F.col("text"))
+      Dedup.ngramDroppedGrams(t, "id", "text", n = 3, maxGramFreq = 1)
+        .agg(F.count(F.lit(1)).as("n_dropped_grams"),
+          F.coalesce(F.sum("gf"), F.lit(0L)).as("dropped_occurrences"))
+    }),
     "conv_reassemble" -> ((s, dir) => {
       // R3: ordered per-conv reassembly (two-phase safe: collect_list
       // then array_sort by turn_idx — order-insensitive upstream).
@@ -593,6 +698,50 @@ object SparkEntry {
     val lexIn = Cyk.lexicon.keySet.toSeq.sorted
       .map(w => s"'$w'").mkString("(", ", ", ")")
     val stopIn = TextStats.enStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    // Shared CTEs for the curate_cheap family: doc-derived turns with
+    // the deterministic planted rows (MUST mirror cheapTurns) and the
+    // ordered first-failure decision (MUST mirror CurateCore.process
+    // under QualityRules.cheapConfig: empty → too_short(50) →
+    // too_long(2000w/8000cp) → repetition(≥20w, <0.3) →
+    // symbol_ratio(>0.3) → boilerplate).
+    val cheapCte =
+      "p AS (SELECT source, doc_id, " +
+        "CASE WHEN doc_id % 13 = 2 THEN array_to_string(list_transform(range(1, 61), i -> 'spam'), ' ') " +
+        "WHEN doc_id % 13 = 3 THEN array_to_string(list_transform(range(1, 61), i -> 'w' || i || '###'), ' ') " +
+        "WHEN doc_id % 13 = 4 THEN array_to_string(list_transform(range(1, 61), i -> 'word' || i), ' ') || ' Subscribe to our newsletter' " +
+        "ELSE text END AS base FROM documents), " +
+      s"p2 AS (SELECT source, doc_id, CASE WHEN doc_id % 5 = 0 THEN base || '$plantedPii' ELSE base END AS text FROM p), " +
+      "t AS (SELECT source AS conv_id, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS turn_idx, text FROM p2), " +
+      "m AS (SELECT conv_id, turn_idx, text, " +
+        "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS wc, " +
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS lw FROM t), " +
+      "r AS (SELECT conv_id, turn_idx, text, wc, " +
+        "CASE WHEN len(lw) = 0 THEN 1.0 ELSE len(list_distinct(lw)) * 1.0 / len(lw) END AS dr, " +
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) * 1.0 / length(text) END AS sr FROM m), " +
+      "d AS (SELECT conv_id, turn_idx, text, " +
+        "CASE WHEN wc = 0 THEN 'empty' WHEN wc < 50 THEN 'too_short' " +
+        "WHEN wc > 2000 OR length(text) > 8000 THEN 'too_long' " +
+        "WHEN wc >= 20 AND dr < 0.3 THEN 'repetition' " +
+        "WHEN sr > 0.3 THEN 'symbol_ratio' " +
+        s"WHEN regexp_matches(text, '${QualityRules.boilerplateRegexRe2}') THEN 'boilerplate' " +
+        "ELSE 'none' END AS drop_reason FROM r)"
+    // Staged per-pattern scrub hit counts (each count taken on the text
+    // AS IT STANDS when that pattern runs — Scrubber.scrub's sequential
+    // semantics), generated from the one patternSpecs definition.
+    val scrubStages = {
+      val specs = Scrubber.patternSpecs
+      val sb = new StringBuilder(
+        "s0 AS (SELECT drop_reason, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t0 FROM d)")
+      specs.indices.foreach { i =>
+        val (name, pat) = specs(i)
+        val carried = ("drop_reason" +: specs.take(i).map(s => s"n_${s._1}")).mkString(", ")
+        val tOut =
+          if (i == specs.length - 1) ""
+          else s", regexp_replace(t$i, '$pat', '', 'g') AS t${i + 1}"
+        sb ++= s", s${i + 1} AS (SELECT $carried, len(regexp_extract_all(t$i, '$pat')) AS n_$name$tOut FROM s$i)"
+      }
+      sb.toString
+    }
     Map(
       "q1_agg" ->
         ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, " +
@@ -714,8 +863,55 @@ object SparkEntry {
       "store_mutations" ->
         "SELECT doc_id FROM documents WHERE doc_id % 7 <> 0 ORDER BY doc_id",
       "html_extract" ->
-        ("SELECT doc_id, text AS content, len(string_split(text, ' ')) AS word_count, " +
+        // word_count mirrors the engine's non-empty-token count
+        // (cleaned.split(" ").count(_.nonEmpty)) — a bare
+        // len(string_split(..)) counts empty tokens and would break on
+        // any doc with doubled/leading spaces (ADVICE r2)
+        ("SELECT doc_id, text AS content, " +
+          "len(list_filter(string_split(text, ' '), x -> x <> '')) AS word_count, " +
           "md5(text) AS content_hash FROM documents ORDER BY doc_id"),
+      "curate_cheap" ->
+        (s"WITH $cheapCte " +
+          "SELECT conv_id, turn_idx, drop_reason = 'none' AS keep, drop_reason, " +
+          s"${Scrubber.scrubSqlFull("text")} AS scrubbed_text " +
+          "FROM d ORDER BY conv_id, turn_idx"),
+      "curate_metrics_cheap" -> {
+        val lastStage = s"s${Scrubber.patternSpecs.length}"
+        val hitBranches = Scrubber.patternSpecs.map { case (name, _) =>
+          s"SELECT '$name' AS k, CAST(sum(n_$name) AS BIGINT) AS n FROM $lastStage HAVING sum(n_$name) > 0"
+        }.mkString(" UNION ALL ")
+        s"WITH $cheapCte, $scrubStages, " +
+          s"base AS (SELECT count(*) AS turns_seen, " +
+          "CAST(sum(CASE WHEN drop_reason = 'none' THEN 1 ELSE 0 END) AS BIGINT) AS turns_kept, " +
+          s"CAST(sum(CASE WHEN drop_reason = 'none' THEN 0 ELSE 1 END) AS BIGINT) AS turns_dropped FROM $lastStage), " +
+          "br AS (SELECT coalesce('{' || string_agg('\"' || drop_reason || '\":' || n, ',' ORDER BY drop_reason) || '}', '{}') AS dropped_by_rule " +
+          s"FROM (SELECT drop_reason, count(*) AS n FROM $lastStage WHERE drop_reason <> 'none' GROUP BY 1) x), " +
+          "sc AS (SELECT coalesce('{' || string_agg('\"' || k || '\":' || n, ',' ORDER BY k) || '}', '{}') AS scrub_hit_counts " +
+          s"FROM ($hitBranches) y) " +
+          "SELECT 0 AS part_id, turns_seen, turns_kept, turns_dropped, dropped_by_rule, scrub_hit_counts FROM base, br, sc"
+      },
+      "conv_last3" ->
+        ("WITH t AS (SELECT source AS conv_id, " +
+          "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS turn_idx, " +
+          "'role' || (doc_id % 4) AS role FROM documents) " +
+          "SELECT conv_id, count(*) AS n_turns, " +
+          "array_to_string((list(role ORDER BY turn_idx))[-3:], '|') AS last_3_roles " +
+          "FROM t GROUP BY conv_id ORDER BY conv_id"),
+      "grammar_context" ->
+        // independent reconstruction of the G4 window: prefix is whole
+        // (start < 100 cp), suffix is the 100 code points after the
+        // match end, final Python-strip = rtrim (corpus ws = spaces)
+        ("SELECT doc_id, 'BASIC_001' AS rule_id, 'he are' AS snippet, " +
+          "rtrim('Doc ' || doc_id || '. **he are**' || substr(' happy. ' || text, 1, 100), ' ') AS context " +
+          "FROM documents ORDER BY doc_id"),
+      "dedup_ngram_dropped" ->
+        ("WITH toks AS (SELECT doc_id AS id, " +
+          "list_filter(regexp_split_to_array(lower(text), '[^\\pL\\pN_]+'), x -> x <> '') AS w FROM documents), " +
+          "sh AS (SELECT id, CASE WHEN len(w) < 3 THEN list_distinct(w) " +
+          "ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS grams FROM toks), " +
+          "g AS (SELECT id, unnest(grams) AS g FROM sh), " +
+          "f AS (SELECT g, count(*) AS gf FROM g GROUP BY g HAVING count(*) > 1) " +
+          "SELECT count(*) AS n_dropped_grams, coalesce(CAST(sum(gf) AS BIGINT), 0) AS dropped_occurrences FROM f"),
       "dynamic_grammar" -> {
         import graft.grammar.DynamicGrammar
         // lexicon words grouped by their RESOLVED tag (tagPriority

@@ -141,11 +141,19 @@ object Dedup extends Serializable {
     * Guarded by PlanShapeSpec ("no array column in any pair exchange").
     * Token-less rows are excluded (no sketch → no candidates).
     *
-    * NOTE for production runs: the lazy DAG references `sketched` from
-    * four branches (band self-join sides + the two verify joins), so
-    * Spark recomputes the sketch UDF per branch. Work stays linear,
-    * but at 100 TB materialize the (id, sh) projection first (persist
-    * or a staging table) so the sketch is computed once.
+    * The lazy DAG references `sketched` from four branches (band
+    * self-join sides + the two verify joins); a bare projection would
+    * make Spark re-run the shingle UDF per branch (4× the shingling
+    * cost — the dominant per-row work). The sketch is therefore pinned
+    * behind one `repartition(id)` Exchange: all four branches share the
+    * identical exchange subtree, Catalyst's ReuseExchange plans ONE
+    * shuffle, and the UDF runs exactly once per row (asserted via
+    * `sketchCounter` in DedupSpec). One extra O(n) shuffle of compact
+    * (id, 64-long sketch) rows buys 3 fewer full-corpus shingling
+    * passes — the right trade at any scale where text dominates.
+    *
+    * @param sketchCounter test hook: incremented once per shingle-UDF
+    *   invocation when set (proves single evaluation).
     */
   def minhashNearDups(
       df: DataFrame,
@@ -154,19 +162,28 @@ object Dedup extends Serializable {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      sketchCounter: Option[org.apache.spark.util.LongAccumulator] = None
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val shU = F.udf((t: String) => shingles(t, shingleSize))
+    val shU = F.udf { (t: String) =>
+      sketchCounter.foreach(_.add(1L))
+      shingles(t, shingleSize)
+    }
     val bandU = F.udf((sh: Array[Long]) =>
       bandHashes(scala.collection.immutable.ArraySeq.unsafeWrapArray(
         minhashSignature(sh, numHashes)), bands, rows))
     val jacU = F.udf((a: Array[Long], b: Array[Long]) => jaccard(a, b))
 
+    // token-less rows are filtered on the CHEAP column predicate BEFORE
+    // the UDF (same condition — shingles() is empty iff no word char):
+    // a filter on the aliased UDF output would be predicate-pushed
+    // below the projection and evaluate the UDF twice per row
     val sketched = df
+      .filter(hasTokensCol(F.col(textCol)))
       .select(F.col(idCol).as("id"), shU(F.col(textCol)).as("sh"))
-      .filter(F.size(F.col("sh")) > 0)
+      .repartition(F.col("id"))
     val banded = sketched
       .select(F.col("id"), F.explode(bandU(F.col("sh"))).as("b"))
       .select(F.col("id"), F.col("b._1").as("band"), F.col("b._2").as("bh"))

@@ -50,19 +50,32 @@ object Multimodal {
       h
     }
 
-    /** Deterministic "decode": dims/duration/features derived from the
-      * content hash — byte-stable, null-safe.
+    /** Decode: REAL header parsing for BMP/PPM (width/height) and WAV
+      * (duration) via [[HeaderCodec]]; formats without an offline
+      * parser (e.g. compressed video containers) fall through to the
+      * deterministic content-hash stub. The feature vector stays
+      * stubbed (hashed bytes) in all paths — a real embedding model
+      * replaces only that. Byte-stable, null-safe.
       */
     def decode(row: MediaRow): MediaFeatures = {
       val bytes = if (row.media == null) Array.emptyByteArray else row.media
       val h = hashBytes(bytes)
-      val w = 64 + (mix(h) & 0x3ff).toInt       // 64..1087
-      val ht = 64 + (mix(h + 1) & 0x3ff).toInt
-      val dur = if (row.kind == "image") 0L else 1000L + (mix(h + 2) & 0xffff)
       val feat = Array.tabulate(featureDim) { d =>
         ((mix(h + 3 + d) & 0xffff).toFloat / 0xffff.toFloat) * 2f - 1f
       }
-      MediaFeatures(row.media_id, row.kind, bytes.length, h, w, ht, dur, feat)
+      val real: Option[(Int, Int, Long)] =
+        HeaderCodec.parseBmp(bytes).map(d => (d.width, d.height, 0L))
+          .orElse(HeaderCodec.parsePpm(bytes).map(d => (d.width, d.height, 0L)))
+          .orElse(HeaderCodec.parseWav(bytes).map(a => (0, 0, a.durationMs)))
+      real match {
+        case Some((w, ht, dur)) =>
+          MediaFeatures(row.media_id, row.kind, bytes.length, h, w, ht, dur, feat)
+        case None => // stub path: dims/duration derived from the hash
+          val w = 64 + (mix(h) & 0x3ff).toInt       // 64..1087
+          val ht = 64 + (mix(h + 1) & 0x3ff).toInt
+          val dur = if (row.kind == "image") 0L else 1000L + (mix(h + 2) & 0xffff)
+          MediaFeatures(row.media_id, row.kind, bytes.length, h, w, ht, dur, feat)
+      }
     }
 
     /** Deterministic frame sampling positions for video (stub). */
@@ -147,7 +160,10 @@ object Multimodal {
           .as("frame_offset_ms"))
 
   /** Deterministic synthetic media table for tests (no binary assets
-    * ship in-repo).
+    * ship in-repo): images are REAL minimal BMPs and audio rows REAL
+    * PCM WAVs (built by [[HeaderCodec]]'s encoders, so extractFeatures
+    * exercises the real header parsers); video rows stay opaque fake
+    * bytes and take the stub path.
     */
   def synthMedia(spark: SparkSession, n: Int, seed: Long = 11L): Dataset[MediaRow] = {
     import spark.implicits._
@@ -155,9 +171,19 @@ object Multimodal {
       val r = new java.util.SplittableRandom(seed + i)
       val kinds = Array("image", "audio", "video")
       val kind = kinds(r.nextInt(3))
-      val bytes = new Array[Byte](32 + r.nextInt(256))
-      r.nextBytes(bytes) // SplittableRandom#nextBytes is deterministic per seed
-      MediaRow(i, kind, bytes, s"application/x-fake-$kind", Map("src" -> s"synth-$i"))
+      val (bytes, mime) = kind match {
+        case "image" =>
+          (HeaderCodec.bmpBytes(1 + r.nextInt(64), 1 + r.nextInt(64), seed + i),
+            "image/bmp")
+        case "audio" =>
+          (HeaderCodec.wavBytes(8000, 1 + r.nextInt(500), 1 + r.nextInt(2), seed + i),
+            "audio/wav")
+        case _ =>
+          val b = new Array[Byte](32 + r.nextInt(256))
+          r.nextBytes(b) // SplittableRandom#nextBytes is deterministic per seed
+          (b, "application/x-fake-video")
+      }
+      MediaRow(i, kind, bytes, mime, Map("src" -> s"synth-$i"))
     }
   }
 }

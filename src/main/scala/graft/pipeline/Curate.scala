@@ -118,12 +118,15 @@ object Curate {
     // gated grammar hits (empty for already-dropped rows)
     val withHits = withCheap.withColumn(
       "rule_hits",
-      F.when(F.col("__cheap").isNotNull, F.typedlit(Seq.empty[String]))
+      if (!cfg.grammarEnabled) F.typedlit(Seq.empty[String])
+      else F.when(F.col("__cheap").isNotNull, F.typedlit(Seq.empty[String]))
         .otherwise(hitsU(text)))
 
-    val afterGrammar = F.coalesce(
-      F.col("__cheap"),
-      F.when(F.size(F.col("rule_hits")) >= cfg.maxRuleHits, "grammar"))
+    val afterGrammar =
+      if (!cfg.grammarEnabled) F.col("__cheap")
+      else F.coalesce(
+        F.col("__cheap"),
+        F.when(F.size(F.col("rule_hits")) >= cfg.maxRuleHits, "grammar"))
 
     val afterCyk =
       if (cfg.cykEnabled)
@@ -136,7 +139,9 @@ object Curate {
     val withLang = withHits
       .withColumn("__pre_lang", afterCyk)
       .withColumn("__lang",
-        F.when(F.col("__pre_lang").isNotNull,
+        if (!cfg.langIdEnabled)
+          F.struct(F.lit("und").as("_1"), F.lit(0.0).as("_2"))
+        else F.when(F.col("__pre_lang").isNotNull,
           F.struct(F.lit("und").as("_1"), F.lit(0.0).as("_2")))
           .otherwise(langU(text)))
       .withColumn("lang", F.col("__lang._1"))
@@ -144,7 +149,9 @@ object Curate {
 
     val langOk = F.col("lang").isInCollection(cfg.allowedLangs) &&
       F.col("lang_conf") >= cfg.minLangConf
-    val afterLang = F.coalesce(F.col("__pre_lang"), F.when(!langOk, "lang"))
+    val afterLang =
+      if (!cfg.langIdEnabled) F.col("__pre_lang")
+      else F.coalesce(F.col("__pre_lang"), F.when(!langOk, "lang"))
 
     val withPpl = withLang
       .withColumn("__pre_ppl", afterLang)

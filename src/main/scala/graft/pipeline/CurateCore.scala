@@ -73,7 +73,7 @@ final class CurateCore(
     }
 
     var hits: Seq[String] = Nil
-    if (reason == null) {
+    if (reason == null && cfg.grammarEnabled) {
       val rh = GrammarRules.ruleHits(text, withContext = false)
       hits = rh.map(_.rule_id)
       if (rh.size >= cfg.maxRuleHits) reason = "grammar"
@@ -86,7 +86,7 @@ final class CurateCore(
     // n-gram model scan and carry the sentinel ("und", 0.0)
     var lang = "und"
     var langConf = 0.0
-    if (reason == null) {
+    if (reason == null && cfg.langIdEnabled) {
       val p = langId.predict(text)
       lang = p._1
       langConf = p._2

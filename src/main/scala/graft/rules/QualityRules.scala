@@ -38,9 +38,24 @@ object QualityRules extends Serializable {
       pplEnabled: Boolean = true,
       cykEnabled: Boolean = false,  // optional for scale (SURVEY.md §7.4)
       cykMaxWords: Int = 12,
-      cykMaxInvalid: Int = 2
+      cykMaxInvalid: Int = 2,
+      grammarEnabled: Boolean = true,
+      langIdEnabled: Boolean = true
   )
   val defaultConfig: Config = Config()
+
+  /** Cheap-rules-only gate: every remaining rule (empty / length bounds /
+    * repetition / symbol ratio / boilerplate + the scrub) is a pure
+    * deterministic string function, so the COMPOSED keep/drop decision —
+    * not just its components — is DuckDB-expressible and sits under the
+    * driver oracle (`curate_cheap`). minWords = 50 is the reference's
+    * document gate (web_scraper.py:191-194) rather than the turn-level
+    * default, making the gate discriminative on the documents corpus.
+    */
+  val cheapConfig: Config = Config(
+    minWords = 50,
+    grammarEnabled = false, cykEnabled = false,
+    langIdEnabled = false, pplEnabled = false)
 
   /** Boilerplate noise patterns (web_scraper.py:78-83). Detection-only
     * in the rebuild — flag, don't mutate (SURVEY.md §2.2 P2). The

@@ -27,6 +27,27 @@ object HtmlExtract extends Serializable {
   ) extends Node
   final case class Text(s: String) extends Node
 
+  /** Index-preserving ASCII-only lowercase for tag/attr matching and
+    * the raw-text close-tag scan. `String.toLowerCase` is
+    * locale-sensitive AND length-changing (Turkish default locale:
+    * "SCRIPT" → "scrıpt" so element sets never match; U+0130 lowers to
+    * TWO chars, desyncing scan indexes from the original document) —
+    * HTML tag names are ASCII-case-insensitive by spec, so only A-Z
+    * fold (ADVICE r2).
+    */
+  private def asciiLower(s: String): String = {
+    var i = 0
+    while (i < s.length && !(s.charAt(i) >= 'A' && s.charAt(i) <= 'Z')) i += 1
+    if (i == s.length) return s
+    val a = s.toCharArray
+    while (i < a.length) {
+      val c = a(i)
+      if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(a)
+  }
+
   private val voidElems = Set("area", "base", "br", "col", "embed", "hr",
     "img", "input", "link", "meta", "param", "source", "track", "wbr")
   private val rawTextElems = Set("script", "style")
@@ -43,7 +64,7 @@ object HtmlExtract extends Serializable {
     val stack = scala.collection.mutable.Stack[Elem](root)
     // lowercased once: the raw-text close-tag scan would otherwise
     // re-lowercase the whole document per script/style element
-    lazy val lowerHtml = html.toLowerCase
+    lazy val lowerHtml = asciiLower(html)
     val n = html.length
     var i = 0
     val text = new java.lang.StringBuilder
@@ -68,7 +89,7 @@ object HtmlExtract extends Serializable {
           var j = i + (if (isClose) 2 else 1)
           val nameStart = j
           while (j < n && (Character.isLetterOrDigit(html.charAt(j)) || html.charAt(j) == '-')) j += 1
-          val name = html.substring(nameStart, j).toLowerCase
+          val name = asciiLower(html.substring(nameStart, j))
           // attrs until '>'
           val attrEnd = html.indexOf('>', j)
           val rawAttrs = if (attrEnd < 0) html.substring(j) else html.substring(j, attrEnd)
@@ -112,7 +133,7 @@ object HtmlExtract extends Serializable {
       val v = if (m.group(3) != null) m.group(3)
         else if (m.group(4) != null) m.group(4)
         else Option(m.group(2)).getOrElse("")
-      out += m.group(1).toLowerCase -> v
+      out += asciiLower(m.group(1)) -> v
     }
     out.result()
   }

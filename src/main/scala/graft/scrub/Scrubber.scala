@@ -189,6 +189,25 @@ object Scrubber extends Serializable {
     * DuckDB (regexp_replace needs the 'g' flag there; Spark replaces all
     * matches by default).
     */
+  /** FULL scrub bank as ANSI SQL (DuckDB/RE2-safe: no pattern in
+    * `patternSpecs` uses lookaround or backreferences) — the same
+    * fixed-order ws-normalize → url → email → phone → key → slur →
+    * punctuation-collapse → ws-normalize sequence as [[scrub]], so the
+    * pipeline's actual `scrubbed_text` is driver-oracle-checkable
+    * (`curate_cheap`). The conservative [[guard]] prefilters only skip
+    * patterns that cannot match, so they don't change the result.
+    */
+  def scrubSqlFull(col: String): String = {
+    var t = s"trim(regexp_replace($col, '\\s+', ' ', 'g'))"
+    patternSpecs.foreach { case (_, p) =>
+      t = s"regexp_replace($t, '$p', '', 'g')"
+    }
+    t = s"regexp_replace($t, '[.]{3,}', '...', 'g')"
+    t = s"regexp_replace($t, '[!]{2,}', '!', 'g')"
+    t = s"regexp_replace($t, '[?]{2,}', '?', 'g')"
+    s"trim(regexp_replace($t, '\\s+', ' ', 'g'))"
+  }
+
   def scrubSqlReference(col: String): String =
     s"trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
       s"regexp_replace(regexp_replace(trim(regexp_replace($col, '\\s+', ' ', 'g'))," +

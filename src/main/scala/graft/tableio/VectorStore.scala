@@ -36,8 +36,18 @@ final class VectorStore(spark: SparkSession, base: String, nBuckets: Int = 16) {
 
   def count(): Long = if (isEmpty) 0L else read().count()
 
-  /** Append rows (upsert-free add, like collection.add): only the
-    * partitions receiving new rows are rewritten.
+  /** Append rows (id-keyed add, like collection.add — Chroma rejects
+    * duplicate ids; here they are skipped): only the partitions
+    * receiving new rows are rewritten.
+    *
+    * Idempotent resume (ADVICE r2): a crash between commitPartition's
+    * directory move and writeManifest leaves the merged rows live under
+    * a stale manifest, and the job reruns the add. Incoming rows are
+    * therefore anti-joined on `id` against the existing partition
+    * before the union — re-applying a batch that already landed merges
+    * zero new rows, so the rewrite converges instead of duplicating.
+    * (First-commit crashes converge too: the redo is a deterministic
+    * full overwrite of the same partition.)
     */
   def add(df: DataFrame): Unit = {
     require(df.columns.contains("id"), "VectorStore rows need a string `id` column")
@@ -49,9 +59,11 @@ final class VectorStore(spark: SparkSession, base: String, nBuckets: Int = 16) {
       affected.foreach { p =>
         val newRows = batch.filter(F.col(TableIO.PART_COL) === p).drop(TableIO.PART_COL)
         val merged =
-          if (done.contains(p))
-            TableIO.readPartition(spark, base, p).unionByName(newRows)
-          else newRows
+          if (done.contains(p)) {
+            val existing = TableIO.readPartition(spark, base, p)
+            existing.unionByName(
+              newRows.join(existing.select("id"), Seq("id"), "left_anti"))
+          } else newRows
         commit(merged, p)
       }
     } finally batch.unpersist()
@@ -87,19 +99,32 @@ final class VectorStore(spark: SparkSession, base: String, nBuckets: Int = 16) {
 
   /** Export to one JSON file (export_collection, data_manager.py:359-390:
     * {collection_name, total_documents, documents:[{id, document,
-    * metadata}]}). Driver-side single-file write — the reference's
-    * semantics; for large stores use [[exportDistributed]].
+    * metadata}]}). Single-file semantics like the reference, but
+    * STREAMED: rows arrive via `toLocalIterator` (one partition's rows
+    * in driver memory at a time) and go straight to the file writer —
+    * no whole-store `collect()`, so driver memory stays bounded by the
+    * largest partition regardless of store size. For a sharded export
+    * use [[exportDistributed]].
     */
   def exportJson(path: String, collectionName: String = "curated"): String = {
-    val rows = if (isEmpty) Array.empty[String] else
-      read().toJSON.collect()
-    val json = new StringBuilder
-    json ++= s"""{"collection_name": "$collectionName", "total_documents": ${rows.length}, "documents": [\n"""
-    json ++= rows.mkString(",\n")
-    json ++= "\n]}"
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)
-    Files.write(p, json.toString.getBytes(StandardCharsets.UTF_8))
+    val total = count()
+    val w = Files.newBufferedWriter(p, StandardCharsets.UTF_8)
+    try {
+      w.write(s"""{"collection_name": "$collectionName", "total_documents": $total, "documents": [""")
+      w.write("\n")
+      if (total > 0) {
+        val it = read().toJSON.toLocalIterator()
+        var first = true
+        while (it.hasNext) {
+          if (!first) w.write(",\n")
+          w.write(it.next())
+          first = false
+        }
+      }
+      w.write("\n]}")
+    } finally w.close()
     path
   }
 

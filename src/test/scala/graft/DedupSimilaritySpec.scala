@@ -30,6 +30,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 3L) })
   }
 
+  test("minhashNearDups sketches each row ONCE (exchange reuse across the 4 DAG branches)") {
+    // the (id, sh) projection sits behind one repartition(id) Exchange
+    // that all four consumers (band-join sides + verify joins) share —
+    // without it the shingle UDF re-runs per branch (4x shingling cost).
+    // Input must be a real source (parquet), not a local Seq: a
+    // LocalRelation gets its projections CONSTANT-FOLDED per logical
+    // branch at optimization time (ConvertToLocalRelation), which would
+    // count driver-side evaluations no real scan performs.
+    val path = "/tmp/graft-dedup-sketch-once"
+    docs.write.mode("overwrite").parquet(path)
+    val input = spark.read.parquet(path)
+    val acc = spark.sparkContext.longAccumulator("sketch-calls")
+    val n = input.count()
+    Dedup.minhashNearDups(input, "id", "text", threshold = 0.6,
+      sketchCounter = Some(acc)).collect()
+    assert(acc.value == n, s"sketch UDF ran ${acc.value} times for $n rows")
+  }
+
   test("minhash clusters: every dup points to min id representative") {
     val reps = Dedup.minhashClusters(docs, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -201,6 +201,22 @@ class GoldenPipelineSpec extends SparkTestBase {
       norm(Curate.curateDfUnfused(spark, ds)).toSeq)
   }
 
+  test("fused == unfused under the cheap-rules-only config (grammar/cyk/langid/ppl toggles)") {
+    import org.apache.spark.sql.functions._
+    val cfg = graft.rules.QualityRules.cheapConfig
+    val ds = Transcripts.dataset(spark, 50L).toDF()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ppl", when(isnan(col("ppl")), -1.0).otherwise(round(col("ppl"), 9)))
+      .select("conv_id", "turn_idx", "lang", "lang_conf", "ppl", "rule_hits",
+        "keep", "drop_reason", "scrubbed_text", "scrub_hits")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.toString)
+    val fused = norm(Curate.curateDf(spark, ds, cfg))
+    assert(fused.toSeq == norm(Curate.curateDfUnfused(spark, ds, cfg)).toSeq)
+    // disabled stages really are disabled: sentinel lang, NaN ppl (→ -1
+    // after norm), no grammar hits anywhere
+    assert(fused.forall(r => r(2) == "und" && r(4) == "-1.0"))
+  }
+
   test("fused == unfused on non-BMP length boundary and whitespace-degenerate repetition (ADVICE r1)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -74,4 +74,25 @@ class HtmlExtractSpec extends AnyFunSuite {
       .digest(e.content.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(e.content_hash == md5)
   }
+
+  test("tag matching is locale-independent and index-stable (ADVICE r2: Turkish locale, U+0130)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      // under tr-TR, String.toLowerCase("SCRIPT") == "scrıpt" (dotless
+      // ı) — the old code would then fail to drop <SCRIPT> content
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val e = HtmlExtract.extract(
+        s"<BODY><SCRIPT>var SECRET = 1;</SCRIPT><MAIN><P>$longText</P></MAIN></BODY>")
+      assert(!e.content.contains("SECRET"))
+      assert(e.content.nonEmpty)
+      // U+0130 lowercases to TWO chars under any locale — a
+      // locale-lowered copy would desync the raw-text close-tag scan
+      // indexes; the ASCII fold keeps them aligned
+      val tricky = s"<body><main><p>İstanbul $longText</p></main>" +
+        "<script>var x = 'İİİ';</script></body>"
+      val e2 = HtmlExtract.extract(tricky)
+      assert(e2.content.startsWith("İstanbul"))
+      assert(!e2.content.contains("var x"))
+    } finally java.util.Locale.setDefault(prev)
+  }
 }

@@ -101,9 +101,38 @@ class MultimodalSpec extends SparkTestBase {
       .collect().sortBy(_.media_id)
     assert(f1.map(_.content_hash).toSeq == f2.map(_.content_hash).toSeq)
     assert(f1.forall(_.feature.length == Multimodal.FakeCodec.featureDim))
-    assert(f1.forall(f => f.width >= 64 && f.height >= 64))
-    assert(f1.filter(_.kind == "image").forall(_.duration_ms == 0L))
-    assert(f1.filter(_.kind != "image").forall(_.duration_ms > 0L))
+    // images are REAL BMPs (synthMedia dims 1..64) decoded by the real
+    // header parser; audio rows are REAL WAVs (duration 1..500 ms,
+    // dims n/a); video stays on the stub path (hash-derived dims)
+    assert(f1.filter(_.kind == "image").forall(f =>
+      f.width >= 1 && f.width <= 64 && f.height >= 1 && f.height <= 64 &&
+        f.duration_ms == 0L))
+    assert(f1.filter(_.kind == "audio").forall(f =>
+      f.width == 0 && f.height == 0 && f.duration_ms >= 1L && f.duration_ms <= 500L))
+    assert(f1.filter(_.kind == "video").forall(f =>
+      f.width >= 64 && f.height >= 64 && f.duration_ms >= 1000L))
+  }
+
+  test("real header decode: BMP/WAV round through synthMedia's real encoders") {
+    import graft.multimodal.HeaderCodec
+    val media = Multimodal.synthMedia(spark, 60).collect()
+    val images = media.filter(_.kind == "image")
+    val audio = media.filter(_.kind == "audio")
+    assert(images.nonEmpty && audio.nonEmpty)
+    images.foreach { m =>
+      assert(m.mime == "image/bmp" && HeaderCodec.isBmp(m.media))
+      val d = HeaderCodec.parseBmp(m.media).get
+      // file size recorded in the header matches the actual byte count
+      // (24bpp rows padded to 4 bytes) — the dims are real, not stubbed
+      val rowSize = ((d.width * 3 + 3) / 4) * 4
+      assert(m.media.length == 54 + rowSize * d.height)
+    }
+    audio.foreach { m =>
+      assert(m.mime == "audio/wav" && HeaderCodec.isWav(m.media))
+      val a = HeaderCodec.parseWav(m.media).get
+      assert(a.sampleRate == 8000 && (a.channels == 1 || a.channels == 2))
+      assert(m.media.length == 44 + (8000L * a.durationMs / 1000L).toInt * a.channels * 2)
+    }
   }
 
   test("resize: images get new deterministic bytes + meta dims; others pass through") {

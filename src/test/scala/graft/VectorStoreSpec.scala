@@ -100,6 +100,35 @@ class VectorStoreSpec extends SparkTestBase {
     assert(vs.count() == 15)
   }
 
+  test("add resume is idempotent: re-applying a batch that already landed merges zero new rows (ADVICE r2)") {
+    val (vs, _) = freshStore("addresume")
+    vs.add(rows(0 until 10, "web"))
+    vs.add(rows(10 until 14, "pdf"))
+    // the crash window: commitPartition moved the merged data into
+    // place but writeManifest never ran → the job reruns the SAME add.
+    // With the id anti-join the redo unions zero new rows instead of
+    // duplicating the batch.
+    vs.add(rows(10 until 14, "pdf"))
+    assert(vs.count() == 14)
+    val ids = vs.read().select("id").collect().map(_.getString(0))
+    assert(ids.length == ids.distinct.length, "duplicate ids after resumed add")
+    // and genuinely new ids still append
+    vs.add(rows(14 until 16, "pdf"))
+    assert(vs.count() == 16)
+  }
+
+  test("exportJson streams via toLocalIterator across many partitions (no whole-store collect)") {
+    val (vs, _) = freshStore("streamexport")
+    vs.add(rows(0 until 200, "web")) // spread over all 4 buckets
+    val out = vs.exportJson("/tmp/graft-vstore-export/stream.json", "big")
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out)), java.nio.charset.StandardCharsets.UTF_8)
+    assert(json.contains("\"total_documents\": 200"))
+    // every row present exactly once, valid array separators
+    (0 until 200).foreach(i => assert(json.contains(s""""doc-$i"""")))
+    assert(json.split("\n").count(_.nonEmpty) == 202) // header + 200 rows + closer
+  }
+
   test("reset drops the collection; export writes the reference JSON shape") {
     val (vs, _) = freshStore("reset")
     vs.add(rows(0 until 5, "web"))
