@@ -29,4 +29,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32-thread local runs need headroom: GC becomes the serial
   // bottleneck in an 8g heap (measured — see BASELINE.md notes)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Xms=Xmx: G1's adaptive sizing otherwise uncommits and recommits
+  // heap regions continuously; on this memory-overcommitted host each
+  // recommit page-faults at ~100× normal cost, showing up as the
+  // sys-heavy VM degradation mode documented in BASELINE.md. A fixed
+  // heap faults each page at most once.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+) ++ (
+  // pre-fault the whole heap at JVM start so no timed rep (or driver-
+  // run bench) ever pays the host's slow first-touch cost; the cost
+  // moves to a one-time startup hit (~15s calm, minutes when the host
+  // is degraded — which is exactly when it matters). Opt out with
+  // SPARK_GRAFT_PRETOUCH=0.
+  if (sys.env.get("SPARK_GRAFT_PRETOUCH").contains("0")) Nil
+  else Seq("-XX:+AlwaysPreTouch")
 )

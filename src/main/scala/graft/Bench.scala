@@ -80,20 +80,41 @@ object Bench {
       } finally src.close()
     } catch { case _: Throwable => (0L, 0L, 0L) }
 
-  /** One timed rep + the steal%% AND system%% of machine jiffies during
-    * it. Two distinct degradation modes observed on this VM: classic
-    * steal bursts, and a mode where steal reads ~0 but kernel (system)
-    * time balloons to several× user time — sys%% makes the second one
-    * legible in the artifact too.
+  @volatile private var spinSink: Long = 0L
+
+  /** Fixed-work single-thread CPU probe: wall ms for 20M dependent
+    * hash-mix iterations. A THIRD degradation mode was observed on
+    * this VM (round 3): reps running 10-60× slow while BOTH steal%%
+    * and sys%% read near zero — i.e. the slowdown is invisible to
+    * /proc/stat shares (consistent with host-side frequency throttling
+    * or memory-bandwidth contention). The probe's ratio vs a calm
+    * baseline (~25-60 ms) exposes that mode directly in the artifact.
     */
-  def timeWithSteal(f: => Unit): (Double, Double, Double) = {
+  def spinProbeMs(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 20000000) { x = graft.util.Hash.mix(x); i += 1 }
+    spinSink = x // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** One timed rep + the steal%% and system%% of machine jiffies during
+    * it, and the fixed-work spin probe (ms) run just before it. Three
+    * distinct degradation modes observed on this VM: classic steal
+    * bursts, a mode where steal reads ~0 but kernel (system) time
+    * balloons to several× user time, and a /proc/stat-invisible mode
+    * caught only by the spin probe.
+    */
+  def timeWithSteal(f: => Unit): (Double, Double, Double, Double) = {
+    val spinMs = spinProbeMs()
     val (tot0, st0, sy0) = readSteal()
     val sec = time(f)
     val (tot1, st1, sy1) = readSteal()
     val d = (tot1 - tot0).toDouble
     val stealPct = if (d > 0) 100.0 * (st1 - st0) / d else 0.0
     val sysPct = if (d > 0) 100.0 * (sy1 - sy0) / d else 0.0
-    (sec, stealPct, sysPct)
+    (sec, stealPct, sysPct, spinMs)
   }
 
   /** Transcript turns for the curate throughput metric, scaled to the
@@ -136,7 +157,7 @@ object Bench {
         forceMaterialize(fn(spark, sfDir)) // warm: plan compile + codegen
         val n = if (tripleRep(name)) 3 else 2
         (1 to n).map(_ => timeWithSteal(forceMaterialize(fn(spark, sfDir))))
-      } catch { case _: Throwable => Seq((-1.0, 0.0, 0.0)) }
+      } catch { case _: Throwable => Seq((-1.0, 0.0, 0.0, 0.0)) }
       (name, reps.map(_._1).min, reps)
     }
     val (benchTot1, benchSt1, _) = readSteal()
@@ -149,12 +170,13 @@ object Bench {
       .mkString("{", ",", "}")
     val keyedReps = results.map { case (k, _, reps) => k -> reps } :+
       ("curate_pipeline" -> curateReps)
-    def repField(get: ((Double, Double, Double)) => Double): String =
+    def repField(get: ((Double, Double, Double, Double)) => Double): String =
       keyedReps.map { case (k, reps) => "\"" + k + "\":" + jArr(reps.map(get)) }
         .mkString("{", ",", "}")
     val repJson = repField(_._1)
     val stealJson = repField(_._2)
     val sysJson = repField(_._3)
+    val spinJson = repField(_._4)
     val total = results.map(_._2).filter(_ >= 0).sum + curateSec
     // Two lines, diagnostics FIRST and the compact headline LAST: the
     // round-2 driver artifact lost the headline because the ~6 KB
@@ -164,12 +186,14 @@ object Bench {
     println(
       s"""{"metric":"bench_diagnostics","rep_sec":$repJson,""" +
         s""""rep_steal_pct":$stealJson,"rep_sys_pct":$sysJson,""" +
-        s""""timing":"min-of-reps; rep_steal_pct/rep_sys_pct = /proc/stat steal and system share during that rep (two observed degradation modes)"}""")
+        s""""rep_spin_ms":$spinJson,""" +
+        s""""timing":"min-of-reps; rep_steal_pct/rep_sys_pct = /proc/stat steal and system share during that rep; rep_spin_ms = fixed-work single-thread probe before it, calm ~25-60ms (three observed VM degradation modes)"}""")
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","cpus":$cpus,"curate_turns":$nTurns,""" +
         s""""curate_sec":${f"$curateSec%.3f"},"turns_per_sec":${f"$turnsPerSec%.1f"},""" +
-        s""""bench_steal_pct":${f"$benchStealPct%.2f"}}""")
+        s""""bench_steal_pct":${f"$benchStealPct%.2f"},""" +
+        s""""spin_ms_min":${f"${keyedReps.flatMap(_._2.map(_._4)).filter(_ > 0).min}%.1f"}}""")
     spark.stop()
   }
 }

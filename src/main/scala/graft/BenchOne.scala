@@ -19,7 +19,8 @@ object BenchOne {
     println(s"""{"query":"$name","sf":"$sfDir","cpus":$cpus,""" +
       s""""rep_sec":${out.map(x => f"${x._1}%.3f").mkString("[", ",", "]")},""" +
       s""""rep_steal_pct":${out.map(x => f"${x._2}%.2f").mkString("[", ",", "]")},""" +
-      s""""rep_sys_pct":${out.map(x => f"${x._3}%.2f").mkString("[", ",", "]")}}""")
+      s""""rep_sys_pct":${out.map(x => f"${x._3}%.2f").mkString("[", ",", "]")},""" +
+      s""""rep_spin_ms":${out.map(x => f"${x._4}%.1f").mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }

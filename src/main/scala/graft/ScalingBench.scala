@@ -22,7 +22,7 @@ object ScalingBench {
     * (/proc/stat), so single-shot wall times are unreliable; the MIN
     * over repetitions approximates the un-stolen cost at each level.
     */
-  def runAt(cpus: Int, inputPath: String, reps: Int = 5): (Long, Seq[(Double, Double, Double)]) = {
+  def runAt(cpus: Int, inputPath: String, reps: Int = 5): (Long, Seq[(Double, Double, Double, Double)]) = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
@@ -38,12 +38,12 @@ object ScalingBench {
     val turns = spark.read.parquet(inputPath)
     val n = turns.count()
     val times = (1 to reps).map { i =>
-      val (s, st, sy) = Bench.timeWithSteal {
+      val (s, st, sy, sp) = Bench.timeWithSteal {
         Bench.forceMaterialize(Curate.curateDf(spark, turns))
       }
       System.err.println(
-        f"[scaling] cpus=$cpus rep=$i sec=$s%.3f steal=$st%.1f%% sys=$sy%.1f%%")
-      (s, st, sy)
+        f"[scaling] cpus=$cpus rep=$i sec=$s%.3f steal=$st%.1f%% sys=$sy%.1f%% spin=$sp%.0fms")
+      (s, st, sy, sp)
     }
     spark.stop()
     (n, times)
@@ -90,7 +90,8 @@ object ScalingBench {
         s""""low_rep_sec":${arr(reps1.map(_._1))},"high_rep_sec":${arr(reps2.map(_._1))},""" +
         s""""low_rep_steal_pct":${arr(reps1.map(_._2))},"high_rep_steal_pct":${arr(reps2.map(_._2))},""" +
         s""""low_rep_sys_pct":${arr(reps1.map(_._3))},"high_rep_sys_pct":${arr(reps2.map(_._3))},""" +
-        s""""timing":"min-of-5; rep_steal_pct/rep_sys_pct = /proc/stat steal and system share during that rep"}""")
+        s""""low_rep_spin_ms":${arr(reps1.map(_._4))},"high_rep_spin_ms":${arr(reps2.map(_._4))},""" +
+        s""""timing":"min-of-5; rep_steal_pct/rep_sys_pct = /proc/stat steal and system share during that rep; rep_spin_ms = fixed-work single-thread probe before it, calm ~25-60ms"}""")
     println(
       s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio",""" +
         s""""turns":$n1,"low_cpus":$lowCpus,"high_cpus":$highCpus,""" +

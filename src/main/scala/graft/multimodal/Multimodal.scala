@@ -50,12 +50,12 @@ object Multimodal {
       h
     }
 
-    /** Decode: REAL header parsing for BMP/PPM (width/height) and WAV
-      * (duration) via [[HeaderCodec]]; formats without an offline
-      * parser (e.g. compressed video containers) fall through to the
-      * deterministic content-hash stub. The feature vector stays
-      * stubbed (hashed bytes) in all paths — a real embedding model
-      * replaces only that. Byte-stable, null-safe.
+    /** Decode: REAL header parsing for BMP/PPM/PNG/GIF/JPEG
+      * (width/height) and WAV (duration) via [[HeaderCodec]]; formats
+      * without an offline parser (e.g. compressed video containers)
+      * fall through to the deterministic content-hash stub. The
+      * feature vector stays stubbed (hashed bytes) in all paths — a
+      * real embedding model replaces only that. Byte-stable, null-safe.
       */
     def decode(row: MediaRow): MediaFeatures = {
       val bytes = if (row.media == null) Array.emptyByteArray else row.media
@@ -66,6 +66,9 @@ object Multimodal {
       val real: Option[(Int, Int, Long)] =
         HeaderCodec.parseBmp(bytes).map(d => (d.width, d.height, 0L))
           .orElse(HeaderCodec.parsePpm(bytes).map(d => (d.width, d.height, 0L)))
+          .orElse(HeaderCodec.parsePng(bytes).map(d => (d.width, d.height, 0L)))
+          .orElse(HeaderCodec.parseGif(bytes).map(d => (d.width, d.height, 0L)))
+          .orElse(HeaderCodec.parseJpeg(bytes).map(d => (d.width, d.height, 0L)))
           .orElse(HeaderCodec.parseWav(bytes).map(a => (0, 0, a.durationMs)))
       real match {
         case Some((w, ht, dur)) =>
@@ -160,10 +163,11 @@ object Multimodal {
           .as("frame_offset_ms"))
 
   /** Deterministic synthetic media table for tests (no binary assets
-    * ship in-repo): images are REAL minimal BMPs and audio rows REAL
-    * PCM WAVs (built by [[HeaderCodec]]'s encoders, so extractFeatures
-    * exercises the real header parsers); video rows stay opaque fake
-    * bytes and take the stub path.
+    * ship in-repo): images rotate across REAL minimal BMP/PNG/GIF/JPEG
+    * containers and audio rows are REAL PCM WAVs (built by
+    * [[HeaderCodec]]'s encoders, so extractFeatures exercises every
+    * real header parser); video rows stay opaque fake bytes and take
+    * the stub path.
     */
   def synthMedia(spark: SparkSession, n: Int, seed: Long = 11L): Dataset[MediaRow] = {
     import spark.implicits._
@@ -173,8 +177,14 @@ object Multimodal {
       val kind = kinds(r.nextInt(3))
       val (bytes, mime) = kind match {
         case "image" =>
-          (HeaderCodec.bmpBytes(1 + r.nextInt(64), 1 + r.nextInt(64), seed + i),
-            "image/bmp")
+          val w = 1 + r.nextInt(64)
+          val h = 1 + r.nextInt(64)
+          r.nextInt(4) match {
+            case 0 => (HeaderCodec.bmpBytes(w, h, seed + i), "image/bmp")
+            case 1 => (HeaderCodec.pngBytes(w, h, seed + i), "image/png")
+            case 2 => (HeaderCodec.gifBytes(w, h), "image/gif")
+            case _ => (HeaderCodec.jpegBytes(w, h, seed + i), "image/jpeg")
+          }
         case "audio" =>
           (HeaderCodec.wavBytes(8000, 1 + r.nextInt(500), 1 + r.nextInt(2), seed + i),
             "audio/wav")

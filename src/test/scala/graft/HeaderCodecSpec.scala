@@ -65,6 +65,66 @@ class HeaderCodecSpec extends AnyFunSuite {
     assert(HeaderCodec.parseWav(ascii("RIFF") ++ new Array[Byte](8)).isEmpty)
   }
 
+  private def be32(v: Int): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+
+  test("PNG: hand-built IHDR (valid CRC) parses; corrupt CRC / bad chunk → None") {
+    val sig = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte)
+    val ihdrData = be32(640) ++ be32(480) ++ Array[Byte](8, 2, 0, 0, 0)
+    val crc = new java.util.zip.CRC32
+    crc.update(ascii("IHDR")); crc.update(ihdrData)
+    val png = sig ++ be32(13) ++ ascii("IHDR") ++ ihdrData ++ be32(crc.getValue.toInt)
+    assert(HeaderCodec.parsePng(png).contains(HeaderCodec.ImageDims(640, 480)))
+    // flip one dim byte without recomputing the CRC → rejected
+    val corrupt = png.clone(); corrupt(17) = 1
+    assert(HeaderCodec.parsePng(corrupt).isEmpty)
+    // first chunk not IHDR → rejected
+    val notIhdr = sig ++ be32(13) ++ ascii("XHDR") ++ ihdrData ++ be32(0)
+    assert(HeaderCodec.parsePng(notIhdr).isEmpty)
+    assert(HeaderCodec.parsePng(sig).isEmpty) // truncated
+    assert(HeaderCodec.parsePng(null).isEmpty)
+  }
+
+  test("GIF: hand-built logical screen descriptor; both versions; zero dims → None") {
+    val gif89 = ascii("GIF89a") ++ le16(320) ++ le16(200) ++ new Array[Byte](3) ++
+      Array(0x3b.toByte)
+    assert(HeaderCodec.parseGif(gif89).contains(HeaderCodec.ImageDims(320, 200)))
+    val gif87 = ascii("GIF87a") ++ le16(1) ++ le16(1) ++ new Array[Byte](3)
+    assert(HeaderCodec.parseGif(gif87).contains(HeaderCodec.ImageDims(1, 1)))
+    assert(HeaderCodec.parseGif(ascii("GIF89a") ++ le16(0) ++ le16(5) ++
+      new Array[Byte](3)).isEmpty)
+    assert(HeaderCodec.parseGif(ascii("GIF88a") ++ new Array[Byte](7)).isEmpty)
+  }
+
+  test("JPEG: marker walk skips APPn/DQT to SOF0; SOS-before-SOF and bad framing → None") {
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte) ++ be16(body.length + 2) ++ body
+    val sof0 = seg(0xc0, Array[Byte](8) ++ be16(300) ++ be16(500) ++
+      Array[Byte](3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0))
+    val jpeg = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xe0, ascii("JFIF") ++ new Array[Byte](9)) ++
+      seg(0xdb, new Array[Byte](65)) ++ sof0 ++ Array(0xff.toByte, 0xd9.toByte)
+    assert(HeaderCodec.parseJpeg(jpeg).contains(HeaderCodec.ImageDims(500, 300)))
+    // progressive SOF2 also carries dims
+    val sof2 = seg(0xc2, Array[Byte](8) ++ be16(40) ++ be16(60) ++
+      Array[Byte](1, 1, 0x11, 0))
+    assert(HeaderCodec.parseJpeg(Array(0xff.toByte, 0xd8.toByte) ++ sof2)
+      .contains(HeaderCodec.ImageDims(60, 40)))
+    // DHT (C4) must NOT be taken for a SOF
+    val dhtOnly = Array(0xff.toByte, 0xd8.toByte) ++ seg(0xc4, new Array[Byte](17))
+    assert(HeaderCodec.parseJpeg(dhtOnly).isEmpty)
+    // SOS before any SOF → dims unknowable from the header
+    val sosFirst = Array(0xff.toByte, 0xd8.toByte) ++ seg(0xda, new Array[Byte](10))
+    assert(HeaderCodec.parseJpeg(sosFirst).isEmpty)
+    // segment length running past EOF → None, never a read OOB
+    val truncated = Array(0xff.toByte, 0xd8.toByte) ++
+      Array(0xff.toByte, 0xe0.toByte) ++ be16(500)
+    assert(HeaderCodec.parseJpeg(truncated).isEmpty)
+    assert(HeaderCodec.parseJpeg(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+  }
+
   test("encoder/parser roundtrip at edge dims/durations") {
     assert(HeaderCodec.parseBmp(HeaderCodec.bmpBytes(1, 1, 7L))
       .contains(HeaderCodec.ImageDims(1, 1)))
@@ -74,5 +134,17 @@ class HeaderCodecSpec extends AnyFunSuite {
     assert(a.sampleRate == 44100 && a.channels == 2 && a.durationMs == 250L)
     // 0 ms → empty data chunk, still parseable, duration 0
     assert(HeaderCodec.parseWav(HeaderCodec.wavBytes(8000, 0, 1, 7L)).get.durationMs == 0L)
+    assert(HeaderCodec.parsePng(HeaderCodec.pngBytes(1, 1, 7L))
+      .contains(HeaderCodec.ImageDims(1, 1)))
+    assert(HeaderCodec.parsePng(HeaderCodec.pngBytes(1920, 1080, 7L))
+      .contains(HeaderCodec.ImageDims(1920, 1080)))
+    assert(HeaderCodec.parseGif(HeaderCodec.gifBytes(65535, 1))
+      .contains(HeaderCodec.ImageDims(65535, 1)))
+    assert(HeaderCodec.parseJpeg(HeaderCodec.jpegBytes(1, 65535, 7L))
+      .contains(HeaderCodec.ImageDims(1, 65535)))
+    // parsers are mutually exclusive on each other's output
+    val png = HeaderCodec.pngBytes(2, 2, 7L)
+    assert(HeaderCodec.parseBmp(png).isEmpty && HeaderCodec.parseJpeg(png).isEmpty &&
+      HeaderCodec.parseGif(png).isEmpty)
   }
 }

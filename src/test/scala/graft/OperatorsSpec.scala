@@ -113,19 +113,43 @@ class MultimodalSpec extends SparkTestBase {
       f.width >= 64 && f.height >= 64 && f.duration_ms >= 1000L))
   }
 
-  test("real header decode: BMP/WAV round through synthMedia's real encoders") {
+  test("real header decode: BMP/PNG/GIF/JPEG/WAV round through synthMedia's real encoders") {
     import graft.multimodal.HeaderCodec
-    val media = Multimodal.synthMedia(spark, 60).collect()
+    val media = Multimodal.synthMedia(spark, 200).collect()
     val images = media.filter(_.kind == "image")
     val audio = media.filter(_.kind == "audio")
     assert(images.nonEmpty && audio.nonEmpty)
+    // all four real image containers are exercised
+    assert(images.map(_.mime).toSet ==
+      Set("image/bmp", "image/png", "image/gif", "image/jpeg"))
     images.foreach { m =>
-      assert(m.mime == "image/bmp" && HeaderCodec.isBmp(m.media))
-      val d = HeaderCodec.parseBmp(m.media).get
-      // file size recorded in the header matches the actual byte count
-      // (24bpp rows padded to 4 bytes) — the dims are real, not stubbed
-      val rowSize = ((d.width * 3 + 3) / 4) * 4
-      assert(m.media.length == 54 + rowSize * d.height)
+      m.mime match {
+        case "image/bmp" =>
+          assert(HeaderCodec.isBmp(m.media))
+          val d = HeaderCodec.parseBmp(m.media).get
+          // header-recorded size matches the actual byte count (24bpp
+          // rows padded to 4 bytes) — the dims are real, not stubbed
+          val rowSize = ((d.width * 3 + 3) / 4) * 4
+          assert(m.media.length == 54 + rowSize * d.height)
+        case "image/png" =>
+          assert(HeaderCodec.isPng(m.media))
+          val d = HeaderCodec.parsePng(m.media).get // incl. IHDR CRC check
+          assert(d.width >= 1 && d.width <= 64 && d.height >= 1 && d.height <= 64)
+          // signature + IHDR + IEND framing is structurally real
+          assert(new String(m.media, 12, 4, "US-ASCII") == "IHDR")
+          assert(new String(m.media, m.media.length - 8, 4, "US-ASCII") == "IEND")
+        case "image/gif" =>
+          assert(HeaderCodec.isGif(m.media))
+          val d = HeaderCodec.parseGif(m.media).get
+          assert(d.width >= 1 && d.width <= 64 && d.height >= 1 && d.height <= 64)
+          assert(m.media.length == 14 && m.media.last == 0x3b)
+        case "image/jpeg" =>
+          assert(HeaderCodec.isJpeg(m.media))
+          val d = HeaderCodec.parseJpeg(m.media).get // real SOF0 marker walk
+          assert(d.width >= 1 && d.width <= 64 && d.height >= 1 && d.height <= 64)
+          assert(m.media(m.media.length - 2) == 0xff.toByte &&
+            m.media.last == 0xd9.toByte) // EOI
+      }
     }
     audio.foreach { m =>
       assert(m.mime == "audio/wav" && HeaderCodec.isWav(m.media))
