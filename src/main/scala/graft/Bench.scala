@@ -36,6 +36,7 @@ object Bench {
     "q16_custom_expr", "q17_running_window", "q18_sessionize",
     "q19_distinct_agg", "q20_anti_join", "q21_join_agg_topk",
     "dedup_minhash_clusters", "dedup_simhash", "dedup_conversations",
+    "dedup_ngram_prefix",
     "ann_lsh", "ann_ivf", "ann_batch_lsh",
     "langid_documents", "quality_score", "fingerprint", "chunk_documents",
     "html_extract", "perplexity_turns",

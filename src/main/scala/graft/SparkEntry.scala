@@ -534,6 +534,16 @@ object SparkEntry {
         .withColumn("jaccard", r6(F.col("jaccard")))
         .orderBy("id_a", "id_b")
     }),
+    "dedup_ngram_prefix" -> ((s, dir) => {
+      // DuckDB-oracled against the UNCAPPED exhaustive enumeration:
+      // prefix filtering is exact (no maxGramFreq loss), so the oracle
+      // is simply every pair with string-gram jaccard >= 0.5
+      val t = tbl(s, dir, "documents")
+        .select(F.col("doc_id").as("id"), F.col("text"))
+      Dedup.ngramJaccardPrefix(t, "id", "text", n = 3, threshold = 0.5)
+        .withColumn("jaccard", r6(F.col("jaccard")))
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_minhash_clusters" -> ((s, dir) => {
       val t = synthTurns(s, dir)
         .select(F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).as("id"),
@@ -991,6 +1001,18 @@ object SparkEntry {
           "SELECT id_a, id_b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard " +
           "FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b " +
           "WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2 ORDER BY id_a, id_b"),
+      "dedup_ngram_prefix" ->
+        ("WITH toks AS (SELECT doc_id AS id, " +
+          "list_filter(regexp_split_to_array(lower(text), '[^\\pL\\pN_]+'), x -> x <> '') AS w FROM documents), " +
+          "sh AS (SELECT id, CASE WHEN len(w) < 3 THEN list_distinct(w) " +
+          "ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS grams FROM toks), " +
+          "g AS (SELECT id, unnest(grams) AS g FROM sh), " +
+          "sizes AS (SELECT id, count(*) AS sz FROM g GROUP BY id), " +
+          "pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter " +
+          "FROM g a JOIN g b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2) " +
+          "SELECT id_a, id_b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard " +
+          "FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b " +
+          "WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5 ORDER BY id_a, id_b"),
       "lexicon_merge" -> {
         val baseVals = (Cyk.lexicon.toSeq.flatMap { case (w, ps) => ps.map(p => (w, p)) } ++
           Seq(("spark", "N"), ("run", "N"), ("the", "DET")))

@@ -407,6 +407,74 @@ object Dedup extends Serializable {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING — the published
+    * scale-safe alternative to [[ngramJaccardPairs]]'s frequency cap
+    * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW
+    * 2007; the prefix+length filters of PPJoin, Xiao et al. 2008).
+    * EXACT: no silent pair loss — every pair with Jaccard ≥ t is
+    * found, including pairs whose only shared grams are corpus-wide
+    * stop-grams (the case the capped path drops).
+    *
+    * Theorem (canonical prefix): order the gram universe by a global
+    * total order (here: ascending document frequency, rarest first,
+    * ties by gram value). For a set x take the first
+    * p(x) = |x| − ⌈t·|x|⌉ + 1 grams. If J(x,y) ≥ t then the smallest
+    * shared gram lies in BOTH prefixes — if it didn't, the whole
+    * intersection would fit in one suffix of size ⌈t·|x|⌉ − 1 <
+    * t·|x| ≤ |x∩y|. So an equi-join on prefix grams alone loses
+    * nothing, and candidates concentrate on each document's RAREST
+    * grams: a stop-gram enters a prefix only when a document has
+    * almost nothing rarer, so the O(df²) hot-key blowup of the naive
+    * gram join disappears for exactly the grams that caused it.
+    *
+    * Shape at scale: sketch once (pinned behind a repartition so all
+    * branches reuse one Exchange, as in [[minhashNearDups]]), gram
+    * df count (one shuffle), per-doc rank window (one shuffle by id),
+    * prefix self-join on gram (ids+sizes only — no arrays through the
+    * hot join), length filter t·max ≤ min before the pair dedup, then
+    * verify exact Jaccard by re-joining the sorted sketch arrays BY ID.
+    * The 1e-9 slacks on the float ceil/length tests only ever widen
+    * the candidate set (exactness is decided by the final verify).
+    */
+  def ngramJaccardPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val shU = F.udf((t: String) => shingles(t, n))
+    val sketched = df
+      .select(F.col(idCol).as("id"), shU(F.col(textCol)).as("sh"))
+      .filter(F.size(F.col("sh")) > 0)
+      .repartition(F.col("id")) // pin: one shingle evaluation, reused by all branches
+    val grams = sketched.select(
+      F.col("id"), F.size(F.col("sh")).as("sz"), F.explode(F.col("sh")).as("g"))
+    val freq = grams.groupBy("g").agg(F.count(F.lit(1)).as("df_g"))
+    val w = Window.partitionBy("id").orderBy(F.col("df_g"), F.col("g"))
+    val prefix = grams.join(freq, Seq("g"))
+      .withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <=
+        F.col("sz") - F.ceil(F.col("sz") * threshold - 1e-9) + 1)
+      .select("g", "id", "sz")
+    val cand = prefix.select(F.col("g"), F.col("id").as("id_a"), F.col("sz").as("sz_a"))
+      .join(prefix.select(F.col("g"), F.col("id").as("id_b"), F.col("sz").as("sz_b")),
+        Seq("g"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      // length filter: J ≥ t forces t·max(|x|,|y|) ≤ min(|x|,|y|)
+      .filter(F.least(F.col("sz_a"), F.col("sz_b")) >=
+        F.greatest(F.col("sz_a"), F.col("sz_b")) * threshold - 1e-9)
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val jacU = F.udf((a: Array[Long], b: Array[Long]) => jaccard(a, b))
+    cand
+      .join(sketched.select(F.col("id").as("id_a"), F.col("sh").as("sh_a")), Seq("id_a"))
+      .join(sketched.select(F.col("id").as("id_b"), F.col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jacU(F.col("sh_a"), F.col("sh_b")))
+      .filter(F.col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Side output for [[ngramJaccardPairs]]'s silent-coverage tradeoff:
     * the grams DROPPED by the `maxGramFreq` cut, with their document
     * frequency. `count(*)` of this is the dropped-gram tally a run

@@ -212,6 +212,55 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(uncapped == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("ngramJaccardPrefix == exhaustive brute-force enumeration (exact, no cap)") {
+    import spark.implicits._
+    // deterministic 40-doc corpus with overlapping templates so pairs
+    // exist at many jaccard levels, incl. repeated stop-gram runs
+    val base = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val corpus = (0 until 40).map { i =>
+      val r = new scala.util.Random(i / 4) // groups of 4 share a seed → near-dups
+      val words = Seq.fill(8 + (i % 5))(base(r.nextInt(base.length))) ++
+        Seq(base(i % base.length), base((i * 3) % base.length))
+      (i.toLong, words.mkString(" "))
+    }
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.ngramJaccardPrefix(corpus.toDF("id", "text"), "id", "text",
+          n = 3, threshold = t)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val sh = corpus.map { case (id, text) => id -> Dedup.shingles(text, 3) }.toMap
+      val want = (for {
+        a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+        j = Dedup.jaccard(sh(a), sh(b)) if j >= t
+      } yield (a, b) -> j).toMap
+      assert(got.keySet == want.keySet, s"pair set mismatch at t=$t")
+      want.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-9) }
+    }
+  }
+
+  test("ngramJaccardPrefix finds the stop-gram-only pairs the capped path loses") {
+    import spark.implicits._
+    // same fixture as the ngramDroppedGrams test: the only shared gram
+    // has df=3, so any cap < 3 silently loses all three pairs — the
+    // prefix path has no cap and must find them
+    val hot = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "alpha beta gamma zeta"),
+      (4L, "totally different words here")
+    ).toDF("id", "text")
+    val found = Dedup.ngramJaccardPrefix(hot, "id", "text", n = 3, threshold = 0.01)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // exact dups score 1.0 through the prefix path too
+    val dup = Seq((1L, "same exact text body"), (2L, "same exact text body"))
+      .toDF("id", "text")
+    val pd = Dedup.ngramJaccardPrefix(dup, "id", "text", n = 3, threshold = 0.9)
+      .collect()
+    assert(pd.length == 1 && math.abs(pd.head.getDouble(2) - 1.0) < 1e-9)
+  }
+
   test("MinHashAgg: group signature == signature of concatenated text; conv near-dups found") {
     import spark.implicits._
     import graft.functions.MinHashAgg
