@@ -441,19 +441,44 @@ object Dedup extends Serializable {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      sketchCounter: Option[org.apache.spark.util.LongAccumulator] = None
   ): DataFrame = {
-    val shU = F.udf((t: String) => shingles(t, n))
+    val shU = F.udf { (t: String) =>
+      sketchCounter.foreach(_.add(1L))
+      shingles(t, n)
+    }
+    // cheap column predicates BEFORE the UDF (shingles() is empty iff
+    // no word char) — a filter on the UDF output would be
+    // predicate-pushed below the projection and evaluate the UDF twice
+    // per row. The explicit isNotNull(id) matters for plan shape, not
+    // just semantics: the verify joins INFER it on their branches, and
+    // without it here the gram-chain scan and the verify scans
+    // canonicalize differently, defeating Exchange reuse (UDF would
+    // run twice per row).
     val sketched = df
+      .filter(hasTokensCol(F.col(textCol)) && F.col(idCol).isNotNull)
       .select(F.col(idCol).as("id"), shU(F.col(textCol)).as("sh"))
-      .filter(F.size(F.col("sh")) > 0)
       .repartition(F.col("id")) // pin: one shingle evaluation, reused by all branches
-    val grams = sketched.select(
-      F.col("id"), F.size(F.col("sh")).as("sz"), F.explode(F.col("sh")).as("g"))
-    val freq = grams.groupBy("g").agg(F.count(F.lit(1)).as("df_g"))
-    val w = Window.partitionBy("id").orderBy(F.col("df_g"), F.col("g"))
-    val prefix = grams.join(freq, Seq("g"))
-      .withColumn("rn", F.row_number().over(w))
+    // gram df via a window count (NOT a groupBy+join back): keeps the
+    // gram stage one LINEAR chain over `sketched`, so every branch
+    // consuming `sketched` (prefix-join left/right, both verify joins)
+    // prunes the same columns and the repartition(id) Exchange is
+    // reused instead of re-evaluating the shingle UDF per branch
+    // (a groupBy branch pruned `id` away and broke canonical equality)
+    val wDf = Window.partitionBy("g")
+    val wRank = Window.partitionBy("id").orderBy(F.col("df_g"), F.col("g"))
+    // explode_OUTER, deliberately: for a bare-attribute input, plain
+    // explode triggers InferFiltersFromGenerate, whose size(sh)>0 /
+    // isnotnull(sh) predicates push below the repartition and
+    // re-evaluate the shingle UDF inside the scan's data filters (the
+    // rule skips outer generates). Row-wise identical here: sh is
+    // never null/empty past the hasTokensCol prefilter.
+    val prefix = sketched
+      .select(F.col("id"), F.size(F.col("sh")).as("sz"),
+        F.explode_outer(F.col("sh")).as("g"))
+      .withColumn("df_g", F.count(F.lit(1)).over(wDf))
+      .withColumn("rn", F.row_number().over(wRank))
       .filter(F.col("rn") <=
         F.col("sz") - F.ceil(F.col("sz") * threshold - 1e-9) + 1)
       .select("g", "id", "sz")

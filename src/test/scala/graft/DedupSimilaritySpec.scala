@@ -261,6 +261,21 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(pd.length == 1 && math.abs(pd.head.getDouble(2) - 1.0) < 1e-9)
   }
 
+  test("ngramJaccardPrefix sketches each row ONCE (exchange reuse across DAG branches)") {
+    // same discipline as minhashNearDups: the (id, sh) projection is
+    // pinned behind one repartition(id) Exchange shared by the prefix
+    // emission and both verify-join sides; parquet-backed input so
+    // ConvertToLocalRelation can't fake the count
+    val path = "/tmp/graft-ngram-prefix-sketch-once"
+    docs.write.mode("overwrite").parquet(path)
+    val input = spark.read.parquet(path)
+    val acc = spark.sparkContext.longAccumulator("prefix-sketch-calls")
+    val n = input.count()
+    Dedup.ngramJaccardPrefix(input, "id", "text", n = 3, threshold = 0.5,
+      sketchCounter = Some(acc)).collect()
+    assert(acc.value == n, s"sketch UDF ran ${acc.value} times for $n rows")
+  }
+
   test("MinHashAgg: group signature == signature of concatenated text; conv near-dups found") {
     import spark.implicits._
     import graft.functions.MinHashAgg
