@@ -544,6 +544,15 @@ object SparkEntry {
         .withColumn("jaccard", r6(F.col("jaccard")))
         .orderBy("id_a", "id_b")
     }),
+    "dedup_components" -> ((s, dir) => {
+      // DuckDB-oracled via a RECURSIVE CTE computing the transitive
+      // closure over the SAME pair set dedup_minhash proves exhaustive
+      // (jaccard >= 0.8): component = min reachable id
+      val t = tbl(s, dir, "documents")
+        .select(F.col("doc_id").as("id"), F.col("text"))
+      val pairs = Dedup.minhashNearDups(t, "id", "text", threshold = 0.8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b").orderBy("id")
+    }),
     "dedup_minhash_clusters" -> ((s, dir) => {
       val t = synthTurns(s, dir)
         .select(F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).as("id"),
@@ -1001,6 +1010,23 @@ object SparkEntry {
           "SELECT id_a, id_b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard " +
           "FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b " +
           "WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2 ORDER BY id_a, id_b"),
+      "dedup_components" ->
+        ("WITH RECURSIVE toks AS (SELECT doc_id AS id, " +
+          "list_filter(regexp_split_to_array(lower(text), '[^\\pL\\pN_]+'), x -> x <> '') AS w FROM documents), " +
+          "sh AS (SELECT id, CASE WHEN len(w) < 3 THEN list_distinct(w) " +
+          "ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS grams FROM toks), " +
+          "g AS (SELECT id, unnest(grams) AS g FROM sh), " +
+          "sizes AS (SELECT id, count(*) AS sz FROM g GROUP BY id), " +
+          "p AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter " +
+          "FROM g a JOIN g b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2), " +
+          "pairs AS (SELECT id_a, id_b FROM p JOIN sizes sa ON sa.id = id_a " +
+          "JOIN sizes sb ON sb.id = id_b " +
+          "WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8), " +
+          "edges AS (SELECT id_a AS u, id_b AS v FROM pairs " +
+          "UNION SELECT id_b, id_a FROM pairs), " +
+          "reach AS (SELECT u, v FROM edges " +
+          "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
+          "SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u ORDER BY id"),
       "dedup_ngram_prefix" ->
         ("WITH toks AS (SELECT doc_id AS id, " +
           "list_filter(regexp_split_to_array(lower(text), '[^\\pL\\pN_]+'), x -> x <> '') AS w FROM documents), " +

@@ -552,4 +552,61 @@ object Dedup extends Serializable {
       .filter(F.col("sim") >= simThreshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** Connected components over an undirected near-dup pair list —
+    * the transitive-closure clustering step after ANY of the pair
+    * operators above ("merge everything linked by any near-dup edge,
+    * keep one representative per cluster"). Pair emission alone is not
+    * a dedup policy: A~B and B~C must collapse to one cluster even
+    * when A~C was never emitted.
+    *
+    * Algorithm: minimum-label propagation — comp(v) starts at v, each
+    * round takes min(comp(v), min over neighbors' comps), until a
+    * round changes nothing. Deterministic (min is order-insensitive)
+    * and exact; rounds = graph diameter. Near-dup graphs are unions of
+    * near-cliques, so the fixpoint lands in a handful of rounds; for
+    * adversarially chained graphs at 10^12 scale the O(log n)-round
+    * large-star/small-star scheme (Kiveris et al., SoCC 2014) is the
+    * drop-in upgrade behind this same signature. Each round is two
+    * shuffles (join by vertex, min-agg by vertex); `localCheckpoint`
+    * truncates the growing lineage per round (a production cluster
+    * job would use a reliable checkpoint dir instead — same plan).
+    *
+    * Returns (id, component) for every vertex appearing in any edge,
+    * component = smallest reachable id.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25
+  ): DataFrame = {
+    val e = edges.select(F.col(aCol).as("u"), F.col(bCol).as("v"))
+      .filter(F.col("u").isNotNull && F.col("v").isNotNull)
+    // symmetric closure, deduped once up front (every round reuses it)
+    val sym = e.unionByName(e.select(F.col("v").as("u"), F.col("u").as("v")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(F.col("u").as("id")).distinct()
+      .withColumn("comp", F.col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "u"), Seq("u"))
+        .groupBy(F.col("v").as("id")).agg(F.min("comp").as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(F.col("id"),
+          F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp")))
+            .as("comp"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("comp", "old_comp"), Seq("id"))
+        .filter(F.col("comp") < F.col("old_comp")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
 }

@@ -276,6 +276,40 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(acc.value == n, s"sketch UDF ran ${acc.value} times for $n rows")
   }
 
+  test("connectedComponents == union-find oracle (random graph, chain, cliques)") {
+    import spark.implicits._
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(v => v -> find(v)).toMap
+    }
+    def check(edges: Seq[(Long, Long)]): Unit = {
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(edges), s"mismatch for $edges")
+    }
+    // chain of 12: min label needs 11 propagation rounds (exercises
+    // the iteration, not just one-hop min)
+    check((0L until 11L).map(i => (i, i + 1)))
+    // two cliques bridged by one edge + an isolated pair
+    check(Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (3L, 10L), (20L, 21L)))
+    // deterministic random graph
+    val rnd = new scala.util.Random(7)
+    check(Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b })
+    // empty edge list → empty output, converges immediately
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0L)
+  }
+
   test("MinHashAgg: group signature == signature of concatenated text; conv near-dups found") {
     import spark.implicits._
     import graft.functions.MinHashAgg
