@@ -73,6 +73,40 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("ngramJaccardPrefix: prefix-join exchanges move scalars only (sketch re-joined by id)") {
+    // the prefix self-join (any exchange carrying the gram key "g")
+    // must shuffle (g, id, sz) — never the shingle arrays; only the
+    // verify joins may move a sketch, one column per exchange
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val bcast = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f h")).toDF("id", "text")
+      val df = graft.dedup.Dedup.ngramJaccardPrefix(docs, "id", "text", n = 3,
+        threshold = 0.5)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.size <= 1,
+          s"exchange shuffles ${arrays.map(_.name)} together:\n$e")
+        if (e.output.exists(_.name == "g"))
+          assert(arrays.isEmpty,
+            s"prefix-join exchange carries sketch ${arrays.map(_.name)}:\n$e")
+      }
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
   test("html_extract scan reads only (doc_id, text) — column pruning through the UDF") {
     val p = plan("html_extract")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
