@@ -179,6 +179,14 @@ object Bench {
     val sysJson = repField(_._3)
     val spinJson = repField(_._4)
     val total = results.map(_._2).filter(_ >= 0).sum + curateSec
+    // A broken query must be loud in the artifact, not a greppable -1:
+    // list it by name so the headline says what was excluded from total.
+    val failedJson = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    // error reps record spin 0.0; if every query errored the >0 filter
+    // leaves nothing and .min would throw, losing the headline line
+    val spinMin = keyedReps.flatMap(_._2.map(_._4)).filter(_ > 0)
+      .minOption.getOrElse(-1.0)
     // Two lines, diagnostics FIRST and the compact headline LAST: the
     // round-2 driver artifact lost the headline because the ~6 KB
     // single line overflowed the driver's tail-capture window — the
@@ -194,7 +202,7 @@ object Bench {
         s""""sf":"$sfDir","cpus":$cpus,"curate_turns":$nTurns,""" +
         s""""curate_sec":${f"$curateSec%.3f"},"turns_per_sec":${f"$turnsPerSec%.1f"},""" +
         s""""bench_steal_pct":${f"$benchStealPct%.2f"},""" +
-        s""""spin_ms_min":${f"${keyedReps.flatMap(_._2.map(_._4)).filter(_ > 0).min}%.1f"}}""")
+        s""""spin_ms_min":${f"$spinMin%.1f"},"failed":$failedJson}""")
     spark.stop()
   }
 }

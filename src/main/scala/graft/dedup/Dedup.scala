@@ -427,9 +427,17 @@ object Dedup extends Serializable {
     * almost nothing rarer, so the O(df²) hot-key blowup of the naive
     * gram join disappears for exactly the grams that caused it.
     *
-    * Shape at scale: sketch once (pinned behind a repartition so all
-    * branches reuse one Exchange, as in [[minhashNearDups]]), gram
-    * df count (one shuffle), per-doc rank window (one shuffle by id),
+    * Shape at scale: sketch once (pinned by an eager `localCheckpoint`
+    * — ONE shingle evaluation by construction, not by Exchange
+    * canonicalization; a cluster job would use a reliable checkpoint
+    * dir, same plan), gram df via a PARTIAL-AGGREGATING groupBy (map-
+    * side combine: a corpus-wide stop-gram contributes one partial
+    * count per map partition, never one shuffled row per occurrence),
+    * df joined back to the occurrences with a shuffle-hash hint (the
+    * occurrence stream is never sorted by g, and AQE's skew-join split
+    * can rebalance a hot gram — a window count could do neither: it
+    * forces every occurrence of a gram to ONE task and sorts there),
+    * per-doc rank window (one shuffle by id — bounded by doc size),
     * prefix self-join on gram (ids+sizes only — no arrays through the
     * hot join), length filter t·max ≤ min before the pair dedup, then
     * verify exact Jaccard by re-joining the sorted sketch arrays BY ID.
@@ -451,33 +459,34 @@ object Dedup extends Serializable {
     // cheap column predicates BEFORE the UDF (shingles() is empty iff
     // no word char) — a filter on the UDF output would be
     // predicate-pushed below the projection and evaluate the UDF twice
-    // per row. The explicit isNotNull(id) matters for plan shape, not
-    // just semantics: the verify joins INFER it on their branches, and
-    // without it here the gram-chain scan and the verify scans
-    // canonicalize differently, defeating Exchange reuse (UDF would
-    // run twice per row).
+    // per row. The eager localCheckpoint pins ONE shingle evaluation
+    // for all consuming branches (prefix-join left/right, both verify
+    // joins) by construction — downstream plans read the materialized
+    // blocks, so no optimizer rule (column-pruning asymmetry,
+    // InferFiltersFromGenerate pushing UDF-substituted predicates into
+    // the scan — both bit the r3 Exchange-reuse formulation) can ever
+    // re-evaluate the UDF. Accumulator-asserted in DedupSimilaritySpec.
     val sketched = df
       .filter(hasTokensCol(F.col(textCol)) && F.col(idCol).isNotNull)
       .select(F.col(idCol).as("id"), shU(F.col(textCol)).as("sh"))
-      .repartition(F.col("id")) // pin: one shingle evaluation, reused by all branches
-    // gram df via a window count (NOT a groupBy+join back): keeps the
-    // gram stage one LINEAR chain over `sketched`, so every branch
-    // consuming `sketched` (prefix-join left/right, both verify joins)
-    // prunes the same columns and the repartition(id) Exchange is
-    // reused instead of re-evaluating the shingle UDF per branch
-    // (a groupBy branch pruned `id` away and broke canonical equality)
-    val wDf = Window.partitionBy("g")
-    val wRank = Window.partitionBy("id").orderBy(F.col("df_g"), F.col("g"))
-    // explode_OUTER, deliberately: for a bare-attribute input, plain
-    // explode triggers InferFiltersFromGenerate, whose size(sh)>0 /
-    // isnotnull(sh) predicates push below the repartition and
-    // re-evaluate the shingle UDF inside the scan's data filters (the
-    // rule skips outer generates). Row-wise identical here: sh is
-    // never null/empty past the hasTokensCol prefilter.
-    val prefix = sketched
+      .localCheckpoint()
+    val grams = sketched
       .select(F.col("id"), F.size(F.col("sh")).as("sz"),
-        F.explode_outer(F.col("sh")).as("g"))
-      .withColumn("df_g", F.count(F.lit(1)).over(wDf))
+        F.explode(F.col("sh")).as("g"))
+    // gram df as a PARTIAL-aggregating groupBy: a stop-gram present in
+    // every document shuffles one partial count per map partition —
+    // never one row per occurrence to a single task. (The r3 window
+    // count was exactly that single-reducer sort, reintroducing one
+    // stage earlier the hot-key blowup the prefix filter removes.)
+    val gramDf = grams.groupBy("g").agg(F.count(F.lit(1)).as("df_g"))
+    // shuffle-hash hint: build the (distinct-gram, df) map per
+    // partition and STREAM the occurrences through it unsorted; a
+    // sort-merge join would re-sort the occurrence stream by g — the
+    // same hot-gram sort the groupBy just avoided. AQE skew-split can
+    // further rebalance a hot gram's join partition.
+    val wRank = Window.partitionBy("id").orderBy(F.col("df_g"), F.col("g"))
+    val prefix = grams
+      .join(gramDf.hint("shuffle_hash"), Seq("g"))
       .withColumn("rn", F.row_number().over(wRank))
       .filter(F.col("rn") <=
         F.col("sz") - F.ceil(F.col("sz") * threshold - 1e-9) + 1)

@@ -145,6 +145,10 @@ object HeaderCodec extends Serializable {
       if (b(i) != 0xff.toByte) return None // lost framing
       var m = u8(b, i + 1)
       while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) } // fill bytes
+      // the fill-byte skip advances i without re-checking the outer
+      // bound; a truncated stream ending in 0xFF padding would
+      // otherwise read the segment length out of bounds (ADVICE r3)
+      if (i + 4 > b.length) return None
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { i += 2 } // standalone
       else if (m == 0xd9 || m == 0xda) return None // EOI / SOS before any SOF
       else {
@@ -182,7 +186,7 @@ object HeaderCodec extends Serializable {
     while (i + 8 <= b.length && (rate == 0 || dataLen < 0)) {
       val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = u32le(b, i + 4)
-      if (id == "fmt " && i + 8 + 16 <= b.length) {
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
         channels = u16le(b, i + 10)
         rate = i32le(b, i + 12)
         bits = u16le(b, i + 22)

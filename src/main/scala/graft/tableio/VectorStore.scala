@@ -51,7 +51,13 @@ final class VectorStore(spark: SparkSession, base: String, nBuckets: Int = 16) {
     */
   def add(df: DataFrame): Unit = {
     require(df.columns.contains("id"), "VectorStore rows need a string `id` column")
-    val batch = df.withColumn(TableIO.PART_COL, bucketOf(F.col("id"))).cache()
+    // within-batch dedup (ADVICE r3): the anti-join below only guards
+    // against ids already in the store; a batch carrying the same id
+    // twice would still land both. Which duplicate wins is arbitrary,
+    // but resume stays convergent: a redo anti-joins on id, so the
+    // surviving row never changes after first commit.
+    val batch = df.dropDuplicates("id")
+      .withColumn(TableIO.PART_COL, bucketOf(F.col("id"))).cache()
     try {
       val affected = batch.select(TableIO.PART_COL).distinct()
         .collect().map(_.getInt(0)).sorted

@@ -261,11 +261,11 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(pd.length == 1 && math.abs(pd.head.getDouble(2) - 1.0) < 1e-9)
   }
 
-  test("ngramJaccardPrefix sketches each row ONCE (exchange reuse across DAG branches)") {
-    // same discipline as minhashNearDups: the (id, sh) projection is
-    // pinned behind one repartition(id) Exchange shared by the prefix
-    // emission and both verify-join sides; parquet-backed input so
-    // ConvertToLocalRelation can't fake the count
+  test("ngramJaccardPrefix sketches each row ONCE (checkpoint-pinned across DAG branches)") {
+    // the (id, sh) projection is pinned by an eager localCheckpoint
+    // shared by the prefix emission and both verify-join sides;
+    // parquet-backed input so ConvertToLocalRelation can't fake the
+    // count
     val path = "/tmp/graft-ngram-prefix-sketch-once"
     docs.write.mode("overwrite").parquet(path)
     val input = spark.read.parquet(path)

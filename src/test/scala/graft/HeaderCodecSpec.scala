@@ -123,6 +123,25 @@ class HeaderCodecSpec extends AnyFunSuite {
       Array(0xff.toByte, 0xe0.toByte) ++ be16(500)
     assert(HeaderCodec.parseJpeg(truncated).isEmpty)
     assert(HeaderCodec.parseJpeg(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    // truncated stream ending in 0xFF fill bytes: the fill-byte skip
+    // advances past the outer bound check — must return None, never
+    // read the segment length out of bounds (ADVICE r3)
+    val ffPad = Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0xc0.toByte)
+    assert(HeaderCodec.parseJpeg(ffPad).isEmpty)
+    assert(HeaderCodec.parseJpeg(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)).isEmpty)
+  }
+
+  test("WAV: short fmt chunk (size < 16) is rejected, not read past") {
+    // a malformed 4-byte fmt chunk followed by a data chunk: without
+    // the size>=16 guard the parser would read channels/rate/bits from
+    // the NEXT chunk's bytes (ADVICE r3)
+    val wav = ascii("RIFF") ++ le32(0) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(4) ++ le16(1) ++ le16(1) ++
+      ascii("data") ++ le32(8) ++ new Array[Byte](8) ++
+      new Array[Byte](8) // padding so isWav's length>=44 holds
+    assert(HeaderCodec.parseWav(wav).isEmpty)
   }
 
   test("encoder/parser roundtrip at edge dims/durations") {

@@ -107,6 +107,45 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("ngramJaccardPrefix gram-df stage: partial aggregate, never a per-gram window") {
+    // the r3 formulation counted gram document-frequency with
+    // count(*) over (partition by g): every occurrence row of a
+    // corpus-wide stop-gram shuffled to ONE task and sorted there —
+    // a single-reducer sort at 100×. The fix must stay a two-phase
+    // aggregate (map-side partial_count on g) and the only Window in
+    // the plan may partition by id (the per-doc rank), never by g.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Partial}
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import spark.implicits._
+      // planted stop-gram: every doc shares the same leading trigram
+      val docs = (0L until 16L).map(i => (i, s"common stop gram tail$i x$i y$i"))
+        .toDF("id", "text")
+      val df = graft.dedup.Dedup.ngramJaccardPrefix(docs, "id", "text",
+        n = 3, threshold = 0.3)
+      val plan = df.queryExecution.executedPlan
+      plan.foreach {
+        case w: WindowExec =>
+          val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+          assert(keys.forall(_.startsWith("id")),
+            s"window partitions by $keys — per-gram window is back:\n$w")
+        case _ =>
+      }
+      val dfAggModes = plan.collect {
+        case a: HashAggregateExec
+            if a.groupingExpressions.exists(_.references.exists(_.name == "g")) &&
+              a.aggregateExpressions.exists(_.aggregateFunction.toString.contains("count")) =>
+          a.aggregateExpressions.map(_.mode)
+      }.flatten
+      assert(dfAggModes.contains(Partial) && !dfAggModes.contains(Complete),
+        s"gram-df count is not a two-phase (map-side partial) aggregate: $dfAggModes")
+    } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("html_extract scan reads only (doc_id, text) — column pruning through the UDF") {
     val p = plan("html_extract")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)

@@ -34,6 +34,14 @@ class VectorStoreSpec extends SparkTestBase {
     assert(pdf == (20 until 30).map(i => s"doc-$i").toSet)
   }
 
+  test("a batch carrying the same id twice stores it once (within-batch dedup, ADVICE r3)") {
+    val (vs, _) = freshStore("batchdup")
+    val dup = rows(0 until 5, "web").unionByName(rows(0 until 5, "web"))
+    vs.add(dup)
+    assert(vs.count() == 5)
+    assert(vs.read().groupBy("id").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("deleteWhere removes matches, returns count, rewrites only affected partitions") {
     val (vs, base) = freshStore("delete")
     vs.add(rows(0 until 40, "web"))
