@@ -37,10 +37,10 @@ object Bench {
     "q19_distinct_agg", "q20_anti_join", "q21_join_agg_topk",
     "dedup_minhash_clusters", "dedup_simhash", "dedup_conversations",
     "dedup_ngram_prefix",
-    "ann_lsh", "ann_ivf", "ann_batch_lsh",
+    "ann_lsh", "ann_ivf", "ann_ivf_indexed", "ann_batch_lsh",
     "langid_documents", "quality_score", "fingerprint", "chunk_documents",
     "html_extract", "perplexity_turns",
-    "multimodal_features", "curate_cheap")
+    "multimodal_features", "curate_cheap", "curate_transcripts")
 
   /** Queries whose single-run variance was flagged in round 1 — min-of-3. */
   private val tripleRep = Set("dedup_conversations")

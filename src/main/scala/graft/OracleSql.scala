@@ -1,0 +1,349 @@
+package graft
+
+import graft.lm.NGramLM
+import graft.pipeline.Curate
+import graft.rules.QualityRules
+
+/** DuckDB SQL generators for the REAL-model oracle queries: the
+  * trained langid weight matrix and the LM n-gram count table are
+  * exported as inline relations (VALUES), and the exact scoring
+  * arithmetic — FNV-1a char-gram hashing, splitmix64 token/window
+  * hashing mod 2^64 (HUGEINT split multiply), stupid-backoff log-prob
+  * chain, softmax confidence — is replicated in SQL. This moves the
+  * hashed-model operators (§2.4 langid, §2.5 perplexity, and the
+  * composed product keep/drop gate) from rows-only driver checks to
+  * full value compares: DuckDB scores the SAME model the engine
+  * broadcasts.
+  *
+  * Float discipline: weights/counts are dumped via Float.toString
+  * (shortest round-trip decimal) and CAST to REAL, so every SQL addend
+  * equals the engine's Float bit-for-bit; divisions that the engine
+  * performs in Float stay REAL/REAL in SQL; Java-computed transcendental
+  * constants (log 0.4, exp 30) are embedded as 17-digit literals rather
+  * than recomputed by DuckDB's libm. Remaining drift is summation order
+  * only, absorbed by the driver's 9-significant-digit normalization.
+  */
+object OracleSql {
+
+  private val P64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private val GOLDH = "CAST('11400714819323198485' AS HUGEINT)" // 0x9e3779b97f4a7c15
+
+  private def u(l: Long): String = java.lang.Long.toUnsignedString(l)
+  private def d17(x: Double): String = f"$x%.17g"
+
+  /** (a * c) mod 2^64 for HUGEINT column/expr `a` in [0,2^64) and a
+    * 64-bit constant, via 32-bit split — a full 128-bit product would
+    * overflow HUGEINT.
+    */
+  private def mulmod(a: String, c: Long): String = {
+    val lo = u(c & 0xffffffffL)
+    val hi = u(c >>> 32)
+    s"((($a % 4294967296) * $lo + ((($a % 4294967296) * $hi + " +
+      s"($a // 4294967296) * $lo) % 4294967296) * 4294967296) % $P64)"
+  }
+
+  /** splitmix64 finalizer (util.Hash.mix) as SIX chained CTE stages —
+    * one column per projection, so every intermediate is computed ONCE
+    * per row. (Lateral aliases are textual substitution in DuckDB: a
+    * chained mix written as aliases expands combinatorially — ~70
+    * copies of the input expression — which turned the 6.4M-row
+    * minhash permutation stage into minutes of CPU.) `carry` columns
+    * ride through; result CTE exposes carry + `out`.
+    */
+  private def mixCtes(
+      src: String, carry: Seq[String], in: String, out: String, p: String
+  ): (String, String) = {
+    val k = if (carry.isEmpty) "" else carry.mkString("", ", ", ", ")
+    val block =
+      s"${p}1 AS (SELECT $k(($in + $GOLDH) % $P64) AS m1 FROM $src), " +
+        s"${p}2 AS (SELECT ${k}xor(m1, m1 // 1073741824) AS m2 FROM ${p}1), " +
+        s"${p}3 AS (SELECT $k${mulmod("m2", 0xbf58476d1ce4e5b9L)} AS m3 FROM ${p}2), " +
+        s"${p}4 AS (SELECT ${k}xor(m3, m3 // 134217728) AS m4 FROM ${p}3), " +
+        s"${p}5 AS (SELECT $k${mulmod("m4", 0x94d049bb133111ebL)} AS m5 FROM ${p}4), " +
+        s"${p}6 AS (SELECT ${k}xor(m5, m5 // 2147483648) AS $out FROM ${p}5)"
+    (block, s"${p}6")
+  }
+
+  /** splitmix64 finalizer (util.Hash.mix) as lateral-aliased SELECT
+    * columns; `in` is a HUGEINT expr in [0,2^64), result lands in `out`.
+    * ONLY for low-row-count stages — see [[mixCtes]] for the hot path.
+    */
+  private def mixCols(p: String, in: String, out: String): String =
+    s"(($in + $GOLDH) % $P64) AS ${p}a, " +
+      s"xor(${p}a, ${p}a // 1073741824) AS ${p}b, " +
+      s"${mulmod(s"${p}b", 0xbf58476d1ce4e5b9L)} AS ${p}c, " +
+      s"xor(${p}c, ${p}c // 134217728) AS ${p}d, " +
+      s"${mulmod(s"${p}d", 0x94d049bb133111ebL)} AS ${p}e, " +
+      s"xor(${p}e, ${p}e // 2147483648) AS $out"
+
+  /** LangId scoring CTE chain over CTE `src` (must expose `keys` and a
+    * `text` column). Returns (cteBlock, resultCte); the result CTE has
+    * (keys..., lang, conf, n) for every row with ≥1 letter-gram —
+    * callers LEFT JOIN and default to ('und', 0.0).
+    *
+    * Replicates LangIdModel.predict exactly: 512-char cap, whitespace
+    * collapse + sentinel boundaries, char 1..3-grams ending at each
+    * position, letter-gram filter, FNV-1a 32-bit bucket (corpus is
+    * ASCII, so Java UTF-16 units == SQL code points), per-lang weight
+    * sum with the untouched-bucket default, first-index argmax
+    * (ORDER: CASE arms in lang-array order), softmax confidence.
+    */
+  def langidCtes(src: String, keys: Seq[String], p: String): (String, String) = {
+    val m = Curate.defaultModels.langId
+    val nL = m.langs.length
+    val nB = m.nBuckets
+    // bucket = (h & 0x7fffffff) % nB collapses to h % nB when nB | 2^31
+    require(nB > 0 && (0x80000000L % nB) == 0, s"nBuckets=$nB must divide 2^31")
+    // untouched-bucket weight per lang = the MINIMUM weight (weights
+    // are strictly increasing in the bucket count, and untouched
+    // buckets always exist at this corpus/bucket ratio)
+    val defaults = Array.tabulate(nL) { l =>
+      var mn = Float.MaxValue
+      var b = 0
+      while (b < nB) { val w = m.weights(b * nL + l); if (w < mn) mn = w; b += 1 }
+      mn
+    }
+    val rows = new StringBuilder
+    var b = 0
+    while (b < nB) {
+      var diff = false
+      var l = 0
+      while (l < nL && !diff) { if (m.weights(b * nL + l) != defaults(l)) diff = true; l += 1 }
+      if (diff) {
+        if (rows.nonEmpty) rows += ','
+        rows ++= s"($b"
+        l = 0
+        // weights as QUOTED strings: a bare decimal literal becomes
+        // DECIMAL, and DuckDB's DECIMAL→REAL conversion is not
+        // correctly rounded (observed one-ulp misses on near-ties,
+        // e.g. -11.950754 → -11.9507532 instead of -11.9507542);
+        // VARCHAR→REAL goes through strtof and round-trips exactly
+        while (l < nL) { rows ++= ",'" + m.weights(b * nL + l).toString + "'"; l += 1 }
+        rows += ')'
+      }
+      b += 1
+    }
+    val k = keys.mkString(", ")
+    val wcols = (0 until nL).map(l => s"CAST(c${l + 1} AS REAL) AS w$l").mkString(", ")
+    val vcols = (0 to nL).map(i => s"c$i").mkString(", ")
+    val sums = (0 until nL).map { l =>
+      s"sum(coalesce(CAST(w.w$l AS DOUBLE), CAST(CAST('${defaults(l)}' AS REAL) AS DOUBLE))) AS s$l"
+    }.mkString(", ")
+    val scols = (0 until nL).map(l => s"s$l").mkString(", ")
+    val argmax = (0 until nL - 1)
+      .map(l => s"WHEN s$l = mx THEN '${m.langs(l)}'")
+      .mkString("CASE ", " ", s" ELSE '${m.langs(nL - 1)}' END")
+    val softmax = (0 until nL).map(l => s"exp((s$l - mx) / n)").mkString(" + ")
+    val block =
+      s"${p}n0 AS (SELECT $k, trim(regexp_replace(lower(substr(text, 1, 512)), '\\s+', ' ', 'g'), ' ') AS c0 FROM $src), " +
+        s"${p}n1 AS (SELECT $k, CASE WHEN c0 = '' THEN ' ' ELSE ' ' || c0 || ' ' END AS s FROM ${p}n0), " +
+        s"${p}p AS (SELECT $k, s, unnest(range(1, length(s) + 1)) AS j FROM ${p}n1), " +
+        s"${p}g AS (SELECT $k, unicode(s[j]) AS c1, CAST(NULL AS BIGINT) AS c2, CAST(NULL AS BIGINT) AS c3 FROM ${p}p " +
+        s"UNION ALL SELECT $k, unicode(s[j-1]), unicode(s[j]), NULL FROM ${p}p WHERE j >= 2 " +
+        s"UNION ALL SELECT $k, unicode(s[j-2]), unicode(s[j-1]), unicode(s[j]) FROM ${p}p WHERE j >= 3), " +
+        s"${p}f AS (SELECT $k, " +
+        "(xor(2166136261, c1) * 16777619) % 4294967296 AS f1, " +
+        "CASE WHEN c2 IS NULL THEN f1 ELSE (xor(f1, c2) * 16777619) % 4294967296 END AS f2, " +
+        "CASE WHEN c3 IS NULL THEN f2 ELSE (xor(f2, c3) * 16777619) % 4294967296 END AS f3, " +
+        s"f3 % $nB AS b FROM ${p}g " +
+        "WHERE (c1 BETWEEN 97 AND 122) OR (c2 BETWEEN 97 AND 122) OR (c3 BETWEEN 97 AND 122)), " +
+        s"${p}w AS (SELECT c0 AS b, $wcols FROM (VALUES $rows) v($vcols)), " +
+        s"${p}sc AS (SELECT $k, count(*) AS n, $sums FROM ${p}f f LEFT JOIN ${p}w w ON w.b = f.b GROUP BY $k), " +
+        s"${p}r AS (SELECT $k, n, $scols, greatest($scols) AS mx, " +
+        s"$argmax AS lang, 1.0 / ($softmax) AS conf FROM ${p}sc)"
+    (block, s"${p}r")
+  }
+
+  /** Stupid-backoff perplexity CTE chain over CTE `src` (keys + `text`).
+    * Returns (cteBlock, resultCte); result has (keys..., ppl) for rows
+    * with ≥1 token — callers LEFT JOIN and default to exp(30).
+    *
+    * Replicates NGramLM exactly: \\w+ lowercased tokens, h*31+c rolling
+    * char hash mod 2^64, splitmix64 token mix, window hashes chained
+    * via lag (h2_i = mix(h1_{i-1} ^ t_i), h3_i = mix(h2_{i-1} ^ t_i)),
+    * the put/get zero-key remap, the TOTAL_KEY row kept verbatim (a
+    * window hash colliding with -1 reads the token total in BOTH
+    * engines), longest-match backoff with (startN - n) penalties, and
+    * the engine's Float division for seen n-grams (REAL / REAL).
+    */
+  def pplCtes(src: String, keys: Seq[String], p: String): (String, String) = {
+    val lm = Curate.defaultModels.lm
+    require(lm.order == 3, s"pplCtes is unrolled for order 3, got ${lm.order}")
+    val rows = new StringBuilder
+    lm.table.foreach { (key, c) =>
+      if (rows.nonEmpty) rows += ','
+      rows ++= s"($key,${c.toString})"
+    }
+    val denF: Float = lm.table.get(NGramLM.TOTAL_KEY, 1f) + lm.vocabSize
+    val den1f = s"CAST('${denF.toString}' AS REAL)"
+    val den1d = s"CAST($den1f AS DOUBLE)"
+    val lb = d17(NGramLM.LOG_BACKOFF)
+    val k = keys.mkString(", ")
+    val seed = s"CAST('${u(0x2545f4914f6cdd1dL)}' AS HUGEINT)"
+    def z(h: String, out: String) = s"CASE WHEN $h = 0 THEN $GOLDH ELSE $h END AS $out"
+    val block =
+      s"${p}tk AS (SELECT $k, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws FROM $src), " +
+        s"${p}tp AS (SELECT $k, len(ws) AS ntok, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos " +
+        s"FROM ${p}tk WHERE len(ws) > 0), " +
+        s"${p}h0 AS (SELECT $k, ntok, pos, list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(range(1, length(w) + 1), i -> CAST(unicode(w[i]) AS HUGEINT))), " +
+        s"(h, c) -> (h * 31 + c) % $P64) AS rawh FROM ${p}tp), " +
+        s"${p}m0 AS (SELECT $k, ntok, pos, ${mixCols(s"${p}xa", "rawh", "tkh")} FROM ${p}h0), " +
+        s"${p}m1 AS (SELECT $k, ntok, pos, tkh, ${mixCols(s"${p}xb", s"xor($seed, tkh)", "h1")} FROM ${p}m0), " +
+        s"${p}w1 AS (SELECT $k, ntok, pos, tkh, h1, lag(h1) OVER (PARTITION BY $k ORDER BY pos) AS p1 FROM ${p}m1), " +
+        s"${p}m2 AS (SELECT $k, ntok, pos, tkh, h1, p1, ${mixCols(s"${p}xc", "xor(p1, tkh)", "h2")} FROM ${p}w1), " +
+        s"${p}w2 AS (SELECT $k, ntok, pos, tkh, h1, p1, h2, lag(h2) OVER (PARTITION BY $k ORDER BY pos) AS p2 FROM ${p}m2), " +
+        s"${p}m3 AS (SELECT $k, ntok, pos, h1, p1, h2, p2, ${mixCols(s"${p}xd", "xor(p2, tkh)", "h3")} FROM ${p}w2), " +
+        s"${p}lm AS (SELECT CASE WHEN c0 < 0 THEN CAST(c0 AS HUGEINT) + $P64 ELSE CAST(c0 AS HUGEINT) END AS kk, " +
+        s"CAST(c1 AS REAL) AS c FROM (VALUES $rows) v(c0, c1)), " +
+        s"${p}lk AS (SELECT $k, ntok, pos, ${z("h1", "k1")}, ${z("h2", "k2")}, ${z("h3", "k3")}, " +
+        s"${z("p1", "kd2")}, ${z("p2", "kd3")} FROM ${p}m3), " +
+        s"${p}j AS (SELECT $k, ntok, pos, n1.c AS c1n, n2.c AS c2n, n3.c AS c3n, d2.c AS cd2, d3.c AS cd3 " +
+        s"FROM ${p}lk q LEFT JOIN ${p}lm n1 ON n1.kk = q.k1 LEFT JOIN ${p}lm n2 ON n2.kk = q.k2 " +
+        s"LEFT JOIN ${p}lm n3 ON n3.kk = q.k3 LEFT JOIN ${p}lm d2 ON d2.kk = q.kd2 " +
+        s"LEFT JOIN ${p}lm d3 ON d3.kk = q.kd3), " +
+        s"${p}lp AS (SELECT $k, ntok, CASE " +
+        "WHEN pos >= 3 AND c3n IS NOT NULL THEN ln(c3n / cd3) " +
+        s"WHEN pos >= 2 AND c2n IS NOT NULL THEN (CASE WHEN pos >= 3 THEN $lb ELSE 0.0 END) + ln(c2n / cd2) " +
+        s"WHEN c1n IS NOT NULL THEN (least(3, pos) - 1) * $lb + ln(c1n / $den1f) " +
+        s"ELSE (least(3, pos) - 1) * $lb + ln(1.0 / $den1d) END AS logp FROM ${p}j), " +
+        s"${p}pp AS (SELECT $k, exp(least(30.0, greatest(0.0, -sum(logp) / max(ntok)))) AS ppl " +
+        s"FROM ${p}lp GROUP BY $k)"
+    (block, s"${p}pp")
+  }
+
+  /** Java-computed exp(30) (NGramLM.PPL_MAX) as a literal — not
+    * DuckDB's exp, which may differ in the last ulp.
+    */
+  val pplMaxLit: String = d17(NGramLM.PPL_MAX)
+
+  private def toU(x: String) =
+    s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $P64 ELSE CAST($x AS HUGEINT) END)"
+  private def toSigned(x: String) =
+    s"CAST(CASE WHEN $x >= CAST('9223372036854775808' AS HUGEINT) THEN $x - $P64 ELSE $x END AS BIGINT)"
+
+  /** Dedup.wordHash64 (FNV-1a 64 over chars, then splitmix64) as a CTE
+    * chain over `src` (must expose `carry` columns + a token column
+    * `w`). xor(h,c)·0x100000001b3 < 2^104 fits HUGEINT directly — no
+    * split multiply needed for the FNV stage.
+    */
+  private def wordHashCtes(src: String, carry: Seq[String], p: String): (String, String) = {
+    val k = carry.mkString(", ")
+    val fnv = "list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), " +
+      "list_transform(range(1, length(w) + 1), i -> CAST(unicode(w[i]) AS HUGEINT))), " +
+      s"(h, c) -> (xor(h, c) * 1099511628211) % $P64)"
+    val block = s"${p}f AS (SELECT $k, $fnv AS fh FROM $src), " +
+      s"${p}m AS (SELECT $k, ${mixCols(s"${p}z", "fh", "wh")} FROM ${p}f)"
+    (block, s"${p}m")
+  }
+
+  private val tokenRegex = "[\\pL\\pN_]+" // Dedup.tokens word class (RE2 form)
+
+  /** Full SQL replication of [[graft.dedup.Dedup.simhashNearDups]]
+    * over `documents` — the LSH BUCKET STRUCTURE itself under the
+    * oracle (not a jaccard-threshold proxy): 64-bit SimHash from
+    * per-occurrence token-hash bit votes, identical-signature
+    * rep-collapse (window min), 4×16-bit band equi-join, Hamming ≤
+    * maxHamming verify via bit_count(xor). Pure integer arithmetic —
+    * bit-exact, no float tolerance anywhere.
+    */
+  def simhashSql(maxHamming: Int = 3): String = {
+    val (whBlock, whCte) = wordHashCtes("toks", Seq("id"), "W")
+    val pows = (0 until 64).map(b =>
+      s"($b,'${java.math.BigInteger.ONE.shiftLeft(b)}')").mkString(",")
+    val bandDiv = (0 until 4).map(b =>
+      s"($b,'${java.math.BigInteger.ONE.shiftLeft(16 * b)}')").mkString(",")
+    s"WITH toks AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '$tokenRegex')) AS w FROM documents), " +
+      s"$whBlock, " +
+      s"pows AS (SELECT c0 AS b, CAST(c1 AS HUGEINT) AS p2 FROM (VALUES $pows) v(c0, c1)), " +
+      s"bits AS (SELECT id, b, sum(CASE WHEN (wh // p2) % 2 = 1 THEN 1 ELSE -1 END) AS cnt " +
+      s"FROM $whCte CROSS JOIN pows GROUP BY id, b), " +
+      "sigu AS (SELECT id, sum(CASE WHEN cnt > 0 THEN p2 ELSE CAST(0 AS HUGEINT) END) AS su " +
+      "FROM bits JOIN pows USING (b) GROUP BY id), " +
+      s"sigs AS (SELECT id, ${toSigned("su")} AS sig FROM sigu), " +
+      "wr AS (SELECT id, sig, min(id) OVER (PARTITION BY sig) AS rep FROM sigs), " +
+      "intra AS (SELECT rep AS id_a, id AS id_b, 0 AS hamming FROM wr WHERE id <> rep), " +
+      "grp AS (SELECT rep, sig FROM wr WHERE id = rep), " +
+      s"bdiv AS (SELECT c0 AS b, CAST(c1 AS HUGEINT) AS d FROM (VALUES $bandDiv) v(c0, c1)), " +
+      s"banded AS (SELECT rep, sig, b, CAST((${toU("sig")} // d) % 65536 AS BIGINT) AS bh " +
+      "FROM grp CROSS JOIN bdiv), " +
+      "inter AS (SELECT DISTINCT l.rep AS id_a, r.rep AS id_b, " +
+      "CAST(bit_count(xor(l.sig, r.sig)) AS INTEGER) AS hamming " +
+      "FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.rep < r.rep " +
+      s"WHERE bit_count(xor(l.sig, r.sig)) <= $maxHamming) " +
+      "SELECT id_a, id_b, hamming FROM (SELECT * FROM intra UNION ALL SELECT * FROM inter) " +
+      "ORDER BY id_a, id_b"
+  }
+
+  /** Full SQL replication of [[graft.dedup.Dedup.minhashClusters]]
+    * over `documents`: word-hash chain → 3-gram shingle fold (lag-
+    * chained splitmix64, LM-window style), 64 seeded permutations
+    * h_f(x) = mix(x ^ mix(f + 0x100001b3)) with SIGNED min per f (the
+    * engine compares Longs), 16-band × 4-row banded fold from the
+    * golden-ratio seed, per-bucket window min, per-id min across
+    * bands. Bucket membership — including any chance band collision —
+    * is reproduced exactly, so the one-pass cluster approximation is
+    * value-compared, not approximated.
+    */
+  def minhashClustersSql(numHashes: Int = 64, bands: Int = 16): String = {
+    val rows = numHashes / bands
+    require(rows == 4, "fold below is unrolled for 4 rows per band")
+    val seed3 = s"CAST('${u(0x2545f4914f6cdd1dL)}' AS HUGEINT)"
+    val seeds = (0 until numHashes).map(f =>
+      s"($f,${graft.util.Hash.mix(f.toLong + 0x100001b3L)})").mkString(",")
+    val (whBlock, whCte) = wordHashCtes("tk", Seq("id", "nw", "pos"), "W")
+    // hot stage: |shingles| × 64 rows — staged CTE mix, never lateral
+    val hxBlock = mixCtes("hx0", Seq("id", "f"), "shx", "hv", "hs")
+    // band fold h = mix(h ^ s_r) chained over the 4 rows — each mix a
+    // staged CTE chain (4 laterally-chained mixes in one SELECT expand
+    // exponentially under alias substitution)
+    val fold = {
+      var src = "piv"
+      val sb = new StringBuilder
+      (0 until rows).foreach { r =>
+        val carry = Seq("id", "band") ++ ((r + 1) until rows).map(x => s"s$x")
+        val in = if (r == 0) s"xor($GOLDH, ${toU("s0")})"
+        else s"xor(f${r - 1}, ${toU(s"s$r")})"
+        val out = if (r == rows - 1) "bhv" else s"f$r"
+        val (block, last) = mixCtes(src, carry, in, out, s"bf$r")
+        if (sb.nonEmpty) sb ++= ", "
+        sb ++= block
+        src = last
+      }
+      (sb.toString, src)
+    }
+    s"WITH t0 AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '$tokenRegex') AS ws FROM documents), " +
+      "tk AS (SELECT id, len(ws) AS nw, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM t0 WHERE len(ws) > 0), " +
+      s"$whBlock, " +
+      s"g1 AS (SELECT id, nw, pos, wh, ${mixCols("xa", s"xor($seed3, wh)", "c1")} FROM $whCte), " +
+      "l1 AS (SELECT id, nw, pos, wh, c1, lag(c1) OVER (PARTITION BY id ORDER BY pos) AS p1 FROM g1), " +
+      s"g2 AS (SELECT id, nw, pos, wh, ${mixCols("xb", "xor(p1, wh)", "c2")} FROM l1), " +
+      "l2 AS (SELECT id, nw, pos, wh, c2, lag(c2) OVER (PARTITION BY id ORDER BY pos) AS p2 FROM g2), " +
+      s"g3 AS (SELECT id, nw, pos, wh, ${mixCols("xc", "xor(p2, wh)", "h3")} FROM l2), " +
+      "shd AS (SELECT DISTINCT id, CASE WHEN nw >= 3 THEN h3 ELSE wh END AS sh FROM g3 " +
+      "WHERE (nw >= 3 AND pos >= 3) OR nw < 3), " +
+      s"seeds AS (SELECT c0 AS f, ${toU("c1")} AS sd FROM (VALUES $seeds) v(c0, c1)), " +
+      s"hx0 AS (SELECT id, f, xor(sh, sd) AS shx FROM shd CROSS JOIN seeds), " +
+      s"${hxBlock._1}, " +
+      s"sigs AS (SELECT id, f, min(${toSigned("hv")}) AS sv FROM ${hxBlock._2} GROUP BY id, f), " +
+      s"piv AS (SELECT id, f // $rows AS band, " +
+      (0 until rows).map(r => s"max(CASE WHEN f % $rows = $r THEN sv END) AS s$r")
+        .mkString(", ") +
+      s" FROM sigs GROUP BY id, f // $rows), " +
+      s"${fold._1}, " +
+      s"bmin AS (SELECT id, band, min(id) OVER (PARTITION BY band, bhv) AS bucket_rep FROM ${fold._2}), " +
+      "rep AS (SELECT id, min(bucket_rep) AS rep_id FROM bmin GROUP BY id) " +
+      "SELECT id, rep_id FROM rep WHERE rep_id <> id ORDER BY id"
+  }
+
+  /** The product-config decision tail: lang gate + ppl gate after the
+    * cheap chain, given joined raw columns (cheap, plang, pconf, pppl).
+    */
+  def productDecision(cfg: QualityRules.Config = QualityRules.productConfig): String = {
+    val allowed = cfg.allowedLangs.toSeq.sorted.map(l => s"'$l'").mkString(", ")
+    s"CASE WHEN cheap <> 'none' THEN cheap " +
+      s"WHEN plang IS NULL OR plang NOT IN ($allowed) OR pconf < ${cfg.minLangConf} THEN 'lang' " +
+      s"WHEN coalesce(pppl, $pplMaxLit) > ${cfg.maxPpl} THEN 'ppl' " +
+      "ELSE 'none' END"
+  }
+}

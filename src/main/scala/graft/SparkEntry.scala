@@ -53,14 +53,32 @@ object SparkEntry {
   private val plantedPii = " contact bob@example.com or https://ex.co/a now !!"
   private val plantedErrors = " he are happy and they is here. it focus on the data."
 
+  /** In-distribution English text (clean training-corpus sentences
+    * joined to 67 words) for the planted KEEP row of the product-config
+    * decision: passes every cheap rule, langid says (en, ~0.80),
+    * perplexity ~9 — the one row class guaranteed to survive the full
+    * gate. ASCII, apostrophe-free (quoted verbatim into oracle SQL).
+    */
+  private[graft] val plantedKeep =
+    "Question large run with model checks table every. And tokens fast process " +
+      "fast with checks model. Scale careful partition partition text large text " +
+      "answer with run checks table run model. The data process fast pipeline " +
+      "with process answer and system scale run scale we. Process large system " +
+      "rows pipeline fast sample rows tokens cluster. Question checks careful " +
+      "model scale with. Text and result text table large scale."
+
   /** Doc-derived transcript turns for the ORACLED flagship decision
-    * (`curate_cheap` / `curate_metrics_cheap`): conv = source, turn
-    * order = doc_id. Deterministic planted rows make every cheap-rule
-    * branch and the scrub non-vacuous (mirrored verbatim in the oracle
-    * SQL):
+    * (`curate_cheap` / `curate_metrics_cheap` / full-model
+    * `curate_transcripts`): conv = source, turn order = doc_id.
+    * Deterministic planted rows make every cheap-rule branch, the
+    * scrub, AND the product-config model gates non-vacuous (mirrored
+    * verbatim in the oracle SQL):
     *   doc_id % 13 == 2 → pure repetition text ("spam" × 60)
     *   doc_id % 13 == 3 → high-symbol text ("wN###" × 60)
     *   doc_id % 13 == 4 → 60 distinct words + a boilerplate tail
+    *   doc_id % 13 == 5 → [[plantedKeep]] (passes the FULL product gate)
+    *   doc_id % 13 == 6 → 60 digit-only words: zero letter-grams →
+    *                      langid "und" → 'lang' drop, model-independent
     *   doc_id % 5  == 0 → PII tail appended (url + email + "!!")
     */
   private def cheapTurns(s: SparkSession, dir: String): DataFrame = {
@@ -74,9 +92,13 @@ object SparkEntry {
       F.concat_ws(" ", F.transform(nums,
         i => F.concat(F.lit("word"), i.cast("string")))),
       F.lit(" Subscribe to our newsletter"))
+    val numText = F.concat_ws(" ", F.transform(nums,
+      i => (i * 101).cast("string")))
     val base = F.when(d % 13 === 2, repText)
       .when(d % 13 === 3, symText)
       .when(d % 13 === 4, boilText)
+      .when(d % 13 === 5, F.lit(plantedKeep))
+      .when(d % 13 === 6, numText)
       .otherwise(F.col("text"))
     val planted = F.when(d % 5 === 0, F.concat(base, F.lit(plantedPii))).otherwise(base)
     tbl(s, dir, "documents")
@@ -264,11 +286,20 @@ object SparkEntry {
         .limit(5)
     }),
 
-    // ---- curation pipeline + metrics (synth input; rows-only checks) ----
+    // ---- curation pipeline + metrics ----
     "curate_transcripts" -> ((s, dir) => {
-      curated(s, dir)
-        .select("conv_id", "turn_idx", "lang", "keep", "drop_reason",
-          "scrubbed_text")
+      // The REAL-MODEL keep/drop decision under the DuckDB oracle
+      // (r4, closing r3 verdict #1): the fused CurateCore kernel with
+      // langid + perplexity ENABLED (QualityRules.productConfig) over
+      // doc-derived turns; the oracle re-scores the SAME dumped models
+      // in SQL (OracleSql) and composes cheap chain → lang gate → ppl
+      // gate → scrub. The full synth-corpus default-config run stays
+      // covered by entry()/curate_metrics/GoldenPipelineSpec.
+      Curate.curateDf(s, cheapTurns(s, dir), QualityRules.productConfig)
+        .select(F.col("conv_id"), F.col("turn_idx"), F.col("lang"),
+          F.col("keep"),
+          F.coalesce(F.col("drop_reason"), F.lit("none")).as("drop_reason"),
+          F.col("scrubbed_text"))
         .orderBy("conv_id", "turn_idx")
     }),
     "curate_metrics" -> ((s, dir) =>
@@ -321,18 +352,23 @@ object SparkEntry {
     }),
     "grammar_context" -> ((s, dir) => {
       // G4 ±100-char **-highlighted context in a driver row: a known
-      // error planted at the head of each doc; the oracle rebuilds the
-      // window with pure substring arithmetic. includePos=false so
-      // natural-corpus noun-"are" bigrams can't produce hits the SQL
-      // can't predict (the POS rule is parity-pinned separately); the
-      // 12 regex rules match NOWHERE in the natural corpus (established
-      // by grammar_hits_summary: only the planted rule_ids have n>0).
+      // error at the head of a text derived WHOLLY from doc_id (r3
+      // verdict #6 — the r3 version prepended to the natural text, so
+      // a testdata regen planting grammar errors could have silently
+      // invalidated the oracle; now no corpus content reaches the
+      // rule engine). The deterministic filler is long enough that the
+      // +100-cp suffix window truncates mid-filler, exercising the
+      // real window arithmetic. includePos=false: the POS rule is
+      // parity-pinned separately.
       val u = F.udf((t: String) => {
         val hs = GrammarRules.ruleHits(t, includePos = false, withContext = true)
         hs.headOption.map(h => (h.rule_id, h.snippet, h.context))
       })
+      val filler = F.concat_ws(" ", F.transform(F.sequence(F.lit(1), F.lit(30)),
+        i => F.concat(F.lit("w"), (F.col("doc_id") % 7).cast("string"),
+          F.lit("x"), i.cast("string"))))
       val planted = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"),
-        F.lit(". he are happy. "), F.col("text"))
+        F.lit(". he are happy. "), filler)
       tbl(s, dir, "documents")
         .select(F.col("doc_id"), u(planted).as("h"))
         .select(F.col("doc_id"), F.col("h._1").as("rule_id"),
@@ -476,15 +512,25 @@ object SparkEntry {
         .orderBy(F.desc("frequency"), F.col("lhs"), F.col("rhs"))
     }),
     "perplexity_turns" -> ((s, dir) => {
-      // §2.5 standalone: stupid-backoff n-gram perplexity per turn
-      // (hashed-table broadcast model; independent plain-Scala oracle
-      // in ModelsSpec / PerplexitySpec)
+      // §2.5 standalone: stupid-backoff n-gram perplexity per turn —
+      // DuckDB-oracled since r4: the LM count table is dumped as a
+      // relation and the whole scoring chain (token mix, window
+      // hashes, backoff, Float division) is replicated in HUGEINT SQL
+      // (OracleSql.pplCtes). Input = doc-derived turns so the oracle
+      // sees the same text; doc_id % 17 == 5 rows are planted
+      // token-free to exercise the PPL_MAX path. Independent
+      // plain-Scala oracle remains in ModelsSpec / PerplexitySpec.
       val m = Curate.defaultModels.lm
       val b = s.sparkContext.broadcast(m)
       val u = F.udf((t: String) => b.value.perplexity(t))
-      synthTurns(s, dir)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      tbl(s, dir, "documents")
+        .select(F.col("source").as("conv_id"),
+          F.row_number().over(w).as("turn_idx"),
+          F.when(F.col("doc_id") % 17 === 5, F.lit("!!!"))
+            .otherwise(F.col("text")).as("text"))
         .select(F.col("conv_id"), F.col("turn_idx"),
-          F.round(u(F.col("text")), 6).as("ppl"))
+          F.round(u(F.col("text")), 4).as("ppl"))
         .orderBy("conv_id", "turn_idx")
     }),
     "cyk_parse" -> ((s, dir) => {
@@ -519,9 +565,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "dedup_simhash" -> ((s, dir) => {
-      val t = synthTurns(s, dir)
-        .select(F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).as("id"),
-          F.col("text"))
+      // DuckDB-oracled since r4 (r3 verdict #8): the BUCKET STRUCTURE
+      // itself — SimHash bit votes, rep-collapse, 4-band pigeonhole,
+      // Hamming verify — is replicated bit-exactly in HUGEINT SQL
+      // (OracleSql.simhashSql), so chance band collisions are
+      // value-compared, not argued away
+      val t = tbl(s, dir, "documents")
+        .select(F.col("doc_id").as("id"), F.col("text"))
       Dedup.simhashNearDups(t, "id", "text").orderBy("id_a", "id_b")
     }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -554,9 +604,13 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "id_a", "id_b").orderBy("id")
     }),
     "dedup_minhash_clusters" -> ((s, dir) => {
-      val t = synthTurns(s, dir)
-        .select(F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).as("id"),
-          F.col("text"))
+      // DuckDB-oracled since r4 (r3 verdict #8): the one-pass
+      // bucket-min cluster approximation depends on WHICH rows share
+      // LSH buckets — the oracle (OracleSql.minhashClustersSql)
+      // recomputes shingles, the 64 seeded permutations (signed min),
+      // the banded folds and the bucket mins in SQL, bit-exactly
+      val t = tbl(s, dir, "documents")
+        .select(F.col("doc_id").as("id"), F.col("text"))
       Dedup.minhashClusters(t, "id", "text")
         .filter(F.col("id") =!= F.col("rep_id")) // the near-dup rows
         .orderBy("id")
@@ -593,6 +647,34 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0).toArray
       Similarity.topKIvf(emb, "vec_id", "embedding", q, k = 5, nCells = 16, nprobe = 4)
         .withColumn("sim", r6(F.col("sim")))
+    }),
+    "ann_ivf_indexed" -> ((s, dir) => {
+      // build-once / query-MANY through the PERSISTED index (r3
+      // verdict #3): one IvfIndex.build, then 4 queries that each read
+      // only probed cell partitions. nprobe = nCells here, so the
+      // result is exactly brute-force top-k — which also proves the
+      // persisted cells partition the corpus exactly (no dropped or
+      // duplicated ids in the index); the pruned-probe path (recall,
+      // inputFiles ⊂ one cell) is asserted in IvfIndexSpec.
+      val emb = tbl(s, dir, "embeddings")
+      val basePath = java.nio.file.Files
+        .createTempDirectory("graft-ivf-indexed").toString
+      val built = graft.knn.IvfIndex.build(s, emb, "vec_id", "embedding",
+        basePath, nCells = 8)
+      val idx = graft.knn.IvfIndex.load(s, basePath) // exercise load()
+      val qs = emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      qs.map { case (qid, q) =>
+        idx.query(q, k = 3, nprobe = built.nCells)
+          .select(F.lit(qid).as("qid"), F.col("vec_id").as("cid"),
+            F.col("sim"))
+      }.reduce(_.unionByName(_))
+        // rank over the RAW sim (as the oracle does), round after
+        .withColumn("rank", F.row_number().over(
+          Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("cid"))))
+        .withColumn("sim", r6(F.col("sim")))
+        .orderBy("qid", "rank")
     }),
     "ann_batch_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -728,6 +810,8 @@ object SparkEntry {
         "CASE WHEN doc_id % 13 = 2 THEN array_to_string(list_transform(range(1, 61), i -> 'spam'), ' ') " +
         "WHEN doc_id % 13 = 3 THEN array_to_string(list_transform(range(1, 61), i -> 'w' || i || '###'), ' ') " +
         "WHEN doc_id % 13 = 4 THEN array_to_string(list_transform(range(1, 61), i -> 'word' || i), ' ') || ' Subscribe to our newsletter' " +
+        s"WHEN doc_id % 13 = 5 THEN '$plantedKeep' " +
+        "WHEN doc_id % 13 = 6 THEN array_to_string(list_transform(range(1, 61), i -> (i * 101)::VARCHAR), ' ') " +
         "ELSE text END AS base FROM documents), " +
       s"p2 AS (SELECT source, doc_id, CASE WHEN doc_id % 5 = 0 THEN base || '$plantedPii' ELSE base END AS text FROM p), " +
       "t AS (SELECT source AS conv_id, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS turn_idx, text FROM p2), " +
@@ -761,7 +845,7 @@ object SparkEntry {
       }
       sb.toString
     }
-    Map(
+    val m = Map(
       "q1_agg" ->
         ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, " +
           "round(sum(l_extendedprice), 4) AS sum_price, round(avg(l_discount), 6) AS avg_disc, " +
@@ -917,12 +1001,15 @@ object SparkEntry {
           "array_to_string((list(role ORDER BY turn_idx))[-3:], '|') AS last_3_roles " +
           "FROM t GROUP BY conv_id ORDER BY conv_id"),
       "grammar_context" ->
-        // independent reconstruction of the G4 window: prefix is whole
-        // (start < 100 cp), suffix is the 100 code points after the
-        // match end, final Python-strip = rtrim (corpus ws = spaces)
-        ("SELECT doc_id, 'BASIC_001' AS rule_id, 'he are' AS snippet, " +
-          "rtrim('Doc ' || doc_id || '. **he are**' || substr(' happy. ' || text, 1, 100), ' ') AS context " +
-          "FROM documents ORDER BY doc_id"),
+        // independent reconstruction of the G4 window over the SAME
+        // doc_id-derived text (corpus-free): prefix is whole (start <
+        // 100 cp), suffix is the 100 code points after the match end,
+        // final Python-strip = rtrim
+        ("WITH t AS (SELECT doc_id, array_to_string(list_transform(range(1, 31), " +
+          "i -> 'w' || (doc_id % 7) || 'x' || i), ' ') AS filler FROM documents) " +
+          "SELECT doc_id, 'BASIC_001' AS rule_id, 'he are' AS snippet, " +
+          "rtrim('Doc ' || doc_id || '. **he are**' || substr(' happy. ' || filler, 1, 100), ' ') AS context " +
+          "FROM t ORDER BY doc_id"),
       "dedup_ngram_dropped" ->
         ("WITH toks AS (SELECT doc_id AS id, " +
           "list_filter(regexp_split_to_array(lower(text), '[^\\pL\\pN_]+'), x -> x <> '') AS w FROM documents), " +
@@ -1046,7 +1133,52 @@ object SparkEntry {
         s"WITH t AS (SELECT DISTINCT word, pos FROM (VALUES $baseVals) AS v(word, pos)) " +
           "SELECT word, array_to_string(list_sort(list(pos)), '|') AS pos_tags " +
           "FROM t GROUP BY word ORDER BY word"
+      },
+      "langid_documents" -> {
+        // §2.4 under the hard oracle: DuckDB re-scores the SAME dumped
+        // weight matrix (OracleSql.langidCtes replicates predict())
+        val (block, r) = OracleSql.langidCtes("documents", Seq("doc_id"), "L")
+        s"WITH $block " +
+          "SELECT d.doc_id, coalesce(r.lang, 'und') AS lang, " +
+          "coalesce(round(r.conf, 6), 0.0) AS conf " +
+          s"FROM documents d LEFT JOIN $r r ON r.doc_id = d.doc_id ORDER BY d.doc_id"
+      },
+      "perplexity_turns" -> {
+        val (block, r) = OracleSql.pplCtes("t", Seq("conv_id", "turn_idx"), "P")
+        "WITH t AS (SELECT source AS conv_id, " +
+          "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS turn_idx, " +
+          "CASE WHEN doc_id % 17 = 5 THEN '!!!' ELSE text END AS text FROM documents), " +
+          s"$block " +
+          s"SELECT t.conv_id, t.turn_idx, round(coalesce(pp.ppl, ${OracleSql.pplMaxLit}), 4) AS ppl " +
+          s"FROM t LEFT JOIN $r pp ON pp.conv_id = t.conv_id AND pp.turn_idx = t.turn_idx " +
+          "ORDER BY t.conv_id, t.turn_idx"
+      },
+      "curate_transcripts" -> {
+        // the REAL-model composed decision: cheap chain (shared
+        // cheapCte) → langid argmax/softmax gate → stupid-backoff ppl
+        // gate → full scrub, all value-compared
+        val keys = Seq("conv_id", "turn_idx")
+        val (lBlock, lR) = OracleSql.langidCtes("d", keys, "L")
+        val (pBlock, pR) = OracleSql.pplCtes("d", keys, "P")
+        s"WITH $cheapCte, $lBlock, $pBlock, " +
+          "fin AS (SELECT d.conv_id, d.turn_idx, d.text, d.drop_reason AS cheap, " +
+          "lr.lang AS plang, lr.conf AS pconf, pp.ppl AS pppl " +
+          s"FROM d LEFT JOIN $lR lr ON lr.conv_id = d.conv_id AND lr.turn_idx = d.turn_idx " +
+          s"LEFT JOIN $pR pp ON pp.conv_id = d.conv_id AND pp.turn_idx = d.turn_idx) " +
+          "SELECT conv_id, turn_idx, " +
+          "CASE WHEN cheap <> 'none' THEN 'und' ELSE coalesce(plang, 'und') END AS lang, " +
+          s"${OracleSql.productDecision()} AS drop_reason, " +
+          "drop_reason = 'none' AS keep, " +
+          s"${Scrubber.scrubSqlFull("text")} AS scrubbed_text " +
+          "FROM fin ORDER BY conv_id, turn_idx"
       }
     )
+    // the persisted-index query probes ALL cells (nprobe = nCells), so
+    // its exact result is brute-force top-k — the ann_batch_topk SQL
+    // verbatim. This also value-proves the index partitions the corpus
+    // exactly (a dropped/duplicated id in any cell breaks the compare).
+    m + ("ann_ivf_indexed" -> m("ann_batch_topk")) +
+      ("dedup_simhash" -> OracleSql.simhashSql()) +
+      ("dedup_minhash_clusters" -> OracleSql.minhashClustersSql())
   }
 }

@@ -584,12 +584,23 @@ object Dedup extends Serializable {
     * Returns (id, component) for every vertex appearing in any edge,
     * component = smallest reachable id.
     */
+  /** @param algo "label" (default) = min-label propagation, rounds =
+    *   graph diameter — right for near-dup graphs (unions of
+    *   near-cliques, diameter a handful). "star" = alternating
+    *   large-star/small-star contraction (Kiveris et al., SoCC 2014),
+    *   O(log n) rounds on ANY shape — the 10^12-row safety for
+    *   adversarially chained graphs (a path of near-dup pairs), at the
+    *   cost of a distinct + two grouped joins per round. Identical
+    *   output (spec-asserted on chains, cliques, random graphs).
+    */
   def connectedComponents(
       edges: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 25
+      maxIter: Int = 25,
+      algo: String = "label"
   ): DataFrame = {
+    if (algo == "star") return connectedComponentsStar(edges, aCol, bCol, maxIter)
     val e = edges.select(F.col(aCol).as("u"), F.col(bCol).as("v"))
       .filter(F.col("u").isNotNull && F.col("v").isNotNull)
     // symmetric closure, deduped once up front (every round reuses it)
@@ -617,5 +628,71 @@ object Dedup extends Serializable {
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
+  }
+
+  /** Alternating large-star / small-star connected components
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): each round contracts toward the component minimum in
+    * O(log n) rounds regardless of diameter — the upgrade min-label
+    * propagation needs on chain-shaped graphs (r3 verdict #5).
+    *
+    * Both stars are expressed as grouped MIN + join-back (map-side
+    * partial aggregation; no neighbor-list collect anywhere, so a
+    * 10^8-degree hub never materializes its adjacency in one task):
+    *   large-star: every neighbor v > u re-points to
+    *     m(u) = min(Γ(u) ∪ u)  — computed over the SYMMETRIC edges;
+    *   small-star: with edges canonical child→parent (big→small),
+    *     every parent and u itself re-point to m(u) = min child-side.
+    * Edges stay canonical (big, small); fixpoint = edge set unchanged
+    * (two anti-join probes). The converged set is a star forest:
+    * (child, root-min) pairs, from which labels read off directly.
+    */
+  def connectedComponentsStar(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 50
+  ): DataFrame = {
+    val e0 = edges.select(F.col(aCol).as("u"), F.col(bCol).as("v"))
+      .filter(F.col("u").isNotNull && F.col("v").isNotNull)
+      .filter(F.col("u") =!= F.col("v"))
+      .select(F.greatest(F.col("u"), F.col("v")).as("u"),
+        F.least(F.col("u"), F.col("v")).as("v"))
+      .distinct()
+    var cur = e0.localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetric view
+      val sym = cur.unionByName(cur.select(F.col("v").as("u"), F.col("u").as("v")))
+      val lMin = sym.groupBy("u").agg(F.min("v").as("mn"))
+        .select(F.col("u"), F.least(F.col("mn"), F.col("u")).as("m"))
+      val large = sym.join(lMin, Seq("u"))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").as("u"), F.col("m").as("v")) // (big, small)
+        .filter(F.col("u") =!= F.col("v"))
+        .distinct()
+      // small-star on child→parent edges
+      val sMin = large.groupBy("u").agg(F.min("v").as("m"))
+      val small = large.join(sMin, Seq("u"))
+        .select(F.col("v").as("a"), F.col("m").as("b"))
+        .unionByName(sMin.select(F.col("u").as("a"), F.col("m").as("b")))
+        .filter(F.col("a") =!= F.col("b"))
+        .select(F.greatest(F.col("a"), F.col("b")).as("u"),
+          F.least(F.col("a"), F.col("b")).as("v"))
+        .distinct()
+      val next = small.localCheckpoint()
+      converged =
+        next.join(cur, Seq("u", "v"), "left_anti").limit(1).count() == 0L &&
+          cur.join(next, Seq("u", "v"), "left_anti").limit(1).count() == 0L
+      cur.unpersist()
+      cur = next
+      iter += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // star forest → labels; roots label themselves
+    cur.select(F.col("u").as("id"), F.col("v").as("comp"))
+      .unionByName(cur.select(F.col("v").as("id"), F.col("v").as("comp")))
+      .groupBy("id").agg(F.min("comp").as("comp"))
   }
 }

@@ -185,8 +185,11 @@ object Similarity extends Serializable {
       iters: Int = 3,
       sampleSize: Int = 2048
   ): Array[Array[Float]] = {
+    // hash-order works on ANY orderable id type (string ids included —
+    // a long cast here blew up on "doc-N" ids, IvfIndexSpec); for the
+    // existing long-id callers hash(col) is unchanged
     val sample = df
-      .select(F.col(idCol).cast("long").as("__id"), F.col(embCol).as("__emb"))
+      .select(F.col(idCol).as("__id"), F.col(embCol).as("__emb"))
       .orderBy(F.pmod(F.hash(F.col("__id")), F.lit(1000003)), F.col("__id"))
       .limit(sampleSize)
       .collect()

@@ -38,6 +38,19 @@ final class LongFloatMap(initialCapacity: Int) extends Serializable {
     default
   }
 
+  /** Iterate (storedKey, value) pairs — stored keys are post-remap
+    * (an inserted 0 reads back as the golden-ratio sentinel, matching
+    * what get() probes for). Needed to export the table as data (the
+    * DuckDB oracle re-scores the SAME model from a dumped relation).
+    */
+  def foreach(f: (Long, Float) => Unit): Unit = {
+    var i = 0
+    while (i < keys.length) {
+      if (keys(i) != 0L) f(keys(i), vals(i))
+      i += 1
+    }
+  }
+
   private def grow(): Unit = {
     val ok = keys; val ov = vals
     cap <<= 1

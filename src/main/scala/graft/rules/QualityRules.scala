@@ -57,6 +57,21 @@ object QualityRules extends Serializable {
     grammarEnabled = false, cykEnabled = false,
     langIdEnabled = false, pplEnabled = false)
 
+  /** PRODUCT gate: the cheap rules PLUS the real models — langid and
+    * perplexity enabled (the reference's full "is this worth keeping"
+    * decision, smart_corrector.py:114-128, with the model stages the
+    * north_star adds). Grammar/CYK stay off here: their contribution is
+    * separately driver-oracled (`grammar_hits_summary`) and
+    * parity-pinned, while their overlap-dedup + POS-tagger semantics
+    * are the one genuinely non-relational residue. With this config the
+    * ENTIRE decision — cheap chain → langid argmax+softmax → stupid-
+    * backoff perplexity — is DuckDB-expressible (the models are dumped
+    * as relations and re-scored in SQL, [[graft.OracleSql]]), so
+    * `curate_transcripts` sits under the hard driver oracle.
+    */
+  val productConfig: Config = cheapConfig.copy(
+    langIdEnabled = true, pplEnabled = true)
+
   /** Boilerplate noise patterns (web_scraper.py:78-83). Detection-only
     * in the rebuild — flag, don't mutate (SURVEY.md §2.2 P2). The
     * reference's `.*?(?=\n|$)` tails matter only for removal, not

@@ -27,6 +27,24 @@ final class VectorStore(spark: SparkSession, base: String, nBuckets: Int = 16) {
   private def bucketOf(c: Column): Column =
     F.pmod(F.xxhash64(c), F.lit(nBuckets)).cast("int")
 
+  // ---- attached ANN index (r3 verdict #3: build-once/query-many) ----
+
+  private def ivfBase: String = s"$base/_ivf"
+
+  /** Build (or rebuild) the persisted IVF index over the store's
+    * current rows. After this, [[add]]/[[deleteWhere]]/[[deleteByIds]]
+    * keep the index consistent incrementally (fixed centroids — no
+    * re-clustering on mutation), and [[ivf]] serves queries that read
+    * only the probed cell partitions.
+    */
+  def attachIvf(embCol: String, nCells: Int = 16, nAssign: Int = 1): graft.knn.IvfIndex =
+    graft.knn.IvfIndex.build(spark, read(), "id", embCol, ivfBase, nCells, nAssign)
+
+  /** The attached index, if one was built. */
+  def ivf: Option[graft.knn.IvfIndex] =
+    if (graft.knn.IvfIndex.exists(ivfBase)) Some(graft.knn.IvfIndex.load(spark, ivfBase))
+    else None
+
   def isEmpty: Boolean = TableIO.donePartitions(base).isEmpty
 
   def read(): DataFrame = {
@@ -62,6 +80,19 @@ final class VectorStore(spark: SparkSession, base: String, nBuckets: Int = 16) {
       val affected = batch.select(TableIO.PART_COL).distinct()
         .collect().map(_.getInt(0)).sorted
       val done = TableIO.donePartitions(base)
+      // attached-IVF update FIRST, while the store still holds the
+      // pre-add snapshot: the anti-join computes exactly the rows that
+      // will land (skipped duplicate ids never reach the index), and
+      // IvfIndex.add is itself id-idempotent per cell, so a crash
+      // between index update and store rewrite converges on redo —
+      // no driver-side id collect at any store size
+      ivf.foreach { idx =>
+        val landed =
+          if (done.isEmpty) batch.drop(TableIO.PART_COL)
+          else batch.drop(TableIO.PART_COL)
+            .join(TableIO.read(spark, base).select("id"), Seq("id"), "left_anti")
+        idx.add(landed)
+      }
       affected.foreach { p =>
         val newRows = batch.filter(F.col(TableIO.PART_COL) === p).drop(TableIO.PART_COL)
         val merged =
@@ -85,6 +116,14 @@ final class VectorStore(spark: SparkSession, base: String, nBuckets: Int = 16) {
     val affected = full.filter(cond).groupBy(TableIO.PART_COL)
       .agg(F.count(F.lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1))
+    // attached-IVF update FIRST, against the pre-delete snapshot (the
+    // condition may reference metadata columns the index doesn't hold,
+    // so the ids are resolved here and anti-joined per cell — fully
+    // distributed). Crash between index and store rewrite converges:
+    // the redo resolves the same ids, the index anti-join is a no-op.
+    if (affected.nonEmpty)
+      ivf.foreach(_.deleteIdsDf(
+        full.filter(F.coalesce(cond, F.lit(false))).select("id")))
     affected.foreach { case (p, _) =>
       // SQL three-valued logic: NOT(NULL) is NULL, so a bare !cond
       // would silently drop rows where cond evaluates to NULL (e.g. a

@@ -310,6 +310,37 @@ class DedupSimilaritySpec extends SparkTestBase {
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0L)
   }
 
+  test("connectedComponents star == label on every fixture; O(log n) rounds on a long chain") {
+    import spark.implicits._
+    val fixtures = Seq(
+      (0L until 11L).map(i => (i, i + 1)),
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+        (3L, 10L), (20L, 21L)),
+      {
+        val rnd = new scala.util.Random(11)
+        Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+          .filter { case (a, b) => a != b }
+      })
+    fixtures.foreach { edges =>
+      val label = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b",
+          algo = "star")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == label, s"star != label for $edges")
+    }
+    // adversarial diameter: a 4096-node path. Label propagation would
+    // need 4095 rounds; the star contraction must land within
+    // ~2·log2(n) + slack (the maxIter below IS the assertion — the
+    // require() inside fails the test if rounds exceed it).
+    val n = 4096L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val got = Dedup.connectedComponentsStar(chain.toDF("a", "b"), "a", "b",
+        maxIter = 2 * 12 + 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n && got.forall(_._2 == 0L))
+  }
+
   test("MinHashAgg: group signature == signature of concatenated text; conv near-dups found") {
     import spark.implicits._
     import graft.functions.MinHashAgg

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.knn.{IvfIndex, Similarity}
+import graft.tableio.{TableIO, VectorStore}
+
+/** Persisted IVF index: build-once/query-many lifecycle (r3 verdict
+  * #3) — correctness vs brute force, genuine partition pruning on the
+  * probe, load() round-trip, incremental add/delete consistency, and
+  * the VectorStore wiring that keeps the index in sync on mutation.
+  */
+class IvfIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 8
+
+  private def vec(seed: Long): Array[Float] = {
+    // deterministic unit-ish vectors with cluster structure:
+    // 4 anchor directions + small per-id wiggle
+    val anchor = (seed % 4).toInt
+    Array.tabulate(dim) { d =>
+      val base = if (d % 4 == anchor) 1.0f else 0.05f
+      base + 0.01f * ((graft.util.Hash.mix(seed * dim + d) % 100) / 100.0f)
+    }
+  }
+
+  private def corpus(n: Int) =
+    (0 until n).map(i => (i.toLong, vec(i.toLong))).toDF("id", "emb")
+
+  private def fresh(name: String): String = {
+    val p = s"/tmp/graft-ivfidx-$name"
+    TableIO.deleteRecursive(java.nio.file.Paths.get(p))
+    p
+  }
+
+  private def bruteTopK(df: org.apache.spark.sql.DataFrame, q: Array[Float], k: Int) =
+    df.collect()
+      .map(r => (r.getLong(0), Similarity.cosine(r.getSeq[Float](1).toArray, q)))
+      .sortBy { case (id, s) => (-s, id) }
+      .take(k).toSeq
+
+  test("nprobe = nCells equals exact brute force (index partitions the corpus exactly)") {
+    val base = fresh("exact")
+    val data = corpus(80)
+    val idx = IvfIndex.build(spark, data, "id", "emb", base, nCells = 8)
+    for (qs <- Seq(3L, 17L, 42L)) {
+      val q = vec(qs)
+      val got = idx.query(q, k = 5, nprobe = 8).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = bruteTopK(data, q, 5)
+      assert(got.map(_._1) == want.map(_._1), s"ids for query $qs")
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g._2 - w._2) < 1e-12) }
+    }
+  }
+
+  test("pruned probe reads ONLY the probed cell directories (inputFiles) with recall ≥ 0.8") {
+    val base = fresh("prune")
+    val data = corpus(120)
+    val idx = IvfIndex.build(spark, data, "id", "emb", base, nCells = 8)
+    var recallSum = 0.0
+    for (qs <- Seq(1L, 2L, 3L, 6L)) {
+      val q = vec(qs)
+      val probed = idx.probeCells(q, 2).toSet
+      val res = idx.query(q, k = 5, nprobe = 2)
+      val files = res.inputFiles
+      assert(files.nonEmpty)
+      files.foreach { f =>
+        val cell = "part_id=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)
+        assert(cell.exists(probed.contains), s"scanned unprobed file $f (probed=$probed)")
+      }
+      val got = res.collect().map(_.getLong(0)).toSet
+      val want = bruteTopK(data, q, 5).map(_._1).toSet
+      recallSum += got.intersect(want).size.toDouble / want.size
+    }
+    assert(recallSum / 4 >= 0.8, s"mean recall ${recallSum / 4}")
+  }
+
+  test("load() round-trips centroids and serves identical results") {
+    val base = fresh("load")
+    val data = corpus(60)
+    val built = IvfIndex.build(spark, data, "id", "emb", base, nCells = 4)
+    val loaded = IvfIndex.load(spark, base)
+    assert(loaded.nCells == built.nCells && loaded.idCol == "id" &&
+      loaded.embCol == "emb" && loaded.nAssign == 1)
+    built.centroids.zip(loaded.centroids).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq)
+    }
+    val q = vec(5L)
+    assert(loaded.query(q, 5, 4).collect().toSeq ==
+      built.query(q, 5, 4).collect().toSeq)
+  }
+
+  test("incremental add/delete keeps the index equal to a fresh rebuild (fixed centroids)") {
+    val base = fresh("incr")
+    val first = corpus(50)
+    val idx = IvfIndex.build(spark, first, "id", "emb", base, nCells = 4)
+    val extra = (50 until 70).map(i => (i.toLong, vec(i.toLong))).toDF("id", "emb")
+    idx.add(extra)
+    // redo the same add — id-idempotent, nothing duplicates
+    idx.add(extra)
+    idx.deleteIds(Seq(3L, 51L))
+    val q = vec(9L)
+    val expectDf = corpus(70).filter(!col("id").isin(3L, 51L))
+    val want = bruteTopK(expectDf, q, 6)
+    val got = idx.query(q, k = 6, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == want.map(_._1))
+    // total row count across cells = corpus minus deletions
+    val total = TableIO.read(spark, base).count()
+    assert(total == 68, s"index holds $total rows")
+  }
+
+  test("VectorStore.attachIvf: add and deleteWhere keep the index consistent") {
+    val storeBase = fresh("vstore")
+    val vs = new VectorStore(spark, storeBase, nBuckets = 4)
+    def rows(r: Range) = r.map(i =>
+      (s"doc-$i", s"text $i", vec(i.toLong), if (i % 2 == 0) "web" else "pdf"))
+      .toDF("id", "chunk", "embedding", "source")
+    vs.add(rows(0 until 40))
+    vs.attachIvf("embedding", nCells = 4)
+    vs.add(rows(40 until 50)) // index picks up the new rows
+    vs.add(rows(45 until 50)) // duplicate ids — index must not double-count
+    val deleted = vs.deleteWhere(col("source") === "pdf" && col("id") === "doc-7")
+    assert(deleted == 1)
+    val idx = vs.ivf.get
+    val indexed = TableIO.read(spark, s"$storeBase/_ivf")
+      .select("id").collect().map(_.getString(0)).toSet
+    val stored = vs.read().select("id").collect().map(_.getString(0)).toSet
+    assert(indexed == stored, "index ids diverged from store ids")
+    // a query through the synced index equals brute force over the store
+    val q = vec(11L)
+    val want = vs.read().select("id", "embedding").collect()
+      .map(r => (r.getString(0), Similarity.cosine(r.getSeq[Float](1).toArray, q)))
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    val got = idx.query(q, k = 5, nprobe = 4).collect().map(_.getString(0)).toSeq
+    assert(got == want)
+  }
+}

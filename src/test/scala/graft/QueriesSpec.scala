@@ -17,6 +17,13 @@ class QueriesSpec extends SparkTestBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("curate_transcripts (product config) exercises keep, lang AND ppl branches (non-vacuous oracle)") {
+    val rows = SparkEntry.queries("curate_transcripts")(spark, dir)
+      .select("drop_reason").distinct().collect().map(_.getString(0)).toSet
+    assert(Set("none", "lang", "ppl", "too_short", "repetition").subsetOf(rows),
+      s"got $rows")
+  }
+
   test("curate_cheap exercises every planted cheap-rule branch (non-vacuous oracle)") {
     val reasons = SparkEntry.queries("curate_cheap")(spark, dir)
       .select("drop_reason").distinct().collect().map(_.getString(0)).toSet
@@ -42,6 +49,8 @@ class QueriesSpec extends SparkTestBase {
           if (docId % 13 == 2) Seq.fill(60)("spam").mkString(" ")
           else if (docId % 13 == 3) (1 to 60).map(j => s"w$j###").mkString(" ")
           else if (docId % 13 == 4) (1 to 60).map(j => s"word$j").mkString(" ") + " Subscribe to our newsletter"
+          else if (docId % 13 == 5) SparkEntry.plantedKeep
+          else if (docId % 13 == 6) (1 to 60).map(j => (j * 101).toString).mkString(" ")
           else text
         val planted = if (docId % 5 == 0) base + " contact bob@example.com or https://ex.co/a now !!" else base
         val reason = Option(graft.rules.QualityRules.firstScalarFailure(planted, cfg)).getOrElse("none")
