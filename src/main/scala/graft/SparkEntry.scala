@@ -330,6 +330,14 @@ object SparkEntry {
       Curate.metrics(Curate.curateDf(s, cheapTurns(s, dir), QualityRules.cheapConfig))
         .withColumn("dropped_by_rule", F.to_json(F.col("dropped_by_rule")))
         .withColumn("scrub_hit_counts", F.to_json(F.col("scrub_hit_counts")))),
+    "curate_metrics_product" -> ((s, dir) =>
+      // A2 metrics over the REAL-MODEL product-config run (langid +
+      // ppl enabled) — dropped_by_rule now counts 'lang'/'ppl' too,
+      // value-compared against the composed SQL decision + staged
+      // per-pattern scrub counts
+      Curate.metrics(Curate.curateDf(s, cheapTurns(s, dir), QualityRules.productConfig))
+        .withColumn("dropped_by_rule", F.to_json(F.col("dropped_by_rule")))
+        .withColumn("scrub_hit_counts", F.to_json(F.col("scrub_hit_counts")))),
     "conv_last3" -> ((s, dir) => {
       // A8 conversation summary (rag_chatbot.py:264-285) over
       // doc-derived turns: the Python list[-3:] slice semantics under
@@ -603,6 +611,17 @@ object SparkEntry {
       val pairs = Dedup.minhashNearDups(t, "id", "text", threshold = 0.8)
       Dedup.connectedComponents(pairs, "id_a", "id_b").orderBy("id")
     }),
+    "dedup_components_star" -> ((s, dir) => {
+      // the O(log n)-round large-star/small-star contraction (r3
+      // verdict #5) over the SAME exhaustively-proven pair set —
+      // oracled against the identical DuckDB RECURSIVE-CTE closure as
+      // dedup_components, proving star == label == transitive closure
+      // at the driver, not just in specs
+      val t = tbl(s, dir, "documents")
+        .select(F.col("doc_id").as("id"), F.col("text"))
+      val pairs = Dedup.minhashNearDups(t, "id", "text", threshold = 0.8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b", algo = "star").orderBy("id")
+    }),
     "dedup_minhash_clusters" -> ((s, dir) => {
       // DuckDB-oracled since r4 (r3 verdict #8): the one-pass
       // bucket-min cluster approximation depends on WHICH rows share
@@ -831,10 +850,10 @@ object SparkEntry {
     // Staged per-pattern scrub hit counts (each count taken on the text
     // AS IT STANDS when that pattern runs — Scrubber.scrub's sequential
     // semantics), generated from the one patternSpecs definition.
-    val scrubStages = {
+    def scrubStagesFrom(src: String): String = {
       val specs = Scrubber.patternSpecs
       val sb = new StringBuilder(
-        "s0 AS (SELECT drop_reason, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t0 FROM d)")
+        s"s0 AS (SELECT drop_reason, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t0 FROM $src)")
       specs.indices.foreach { i =>
         val (name, pat) = specs(i)
         val carried = ("drop_reason" +: specs.take(i).map(s => s"n_${s._1}")).mkString(", ")
@@ -844,6 +863,21 @@ object SparkEntry {
         sb ++= s", s${i + 1} AS (SELECT $carried, len(regexp_extract_all(t$i, '$pat')) AS n_$name$tOut FROM s$i)"
       }
       sb.toString
+    }
+    val scrubStages = scrubStagesFrom("d")
+    // the base/br/sc aggregation tail shared by both metrics oracles
+    def metricsTail(lastStage: String): String = {
+      val hitBranches = Scrubber.patternSpecs.map { case (name, _) =>
+        s"SELECT '$name' AS k, CAST(sum(n_$name) AS BIGINT) AS n FROM $lastStage HAVING sum(n_$name) > 0"
+      }.mkString(" UNION ALL ")
+      s"base AS (SELECT count(*) AS turns_seen, " +
+        "CAST(sum(CASE WHEN drop_reason = 'none' THEN 1 ELSE 0 END) AS BIGINT) AS turns_kept, " +
+        s"CAST(sum(CASE WHEN drop_reason = 'none' THEN 0 ELSE 1 END) AS BIGINT) AS turns_dropped FROM $lastStage), " +
+        "br AS (SELECT coalesce('{' || string_agg('\"' || drop_reason || '\":' || n, ',' ORDER BY drop_reason) || '}', '{}') AS dropped_by_rule " +
+        s"FROM (SELECT drop_reason, count(*) AS n FROM $lastStage WHERE drop_reason <> 'none' GROUP BY 1) x), " +
+        "sc AS (SELECT coalesce('{' || string_agg('\"' || k || '\":' || n, ',' ORDER BY k) || '}', '{}') AS scrub_hit_counts " +
+        s"FROM ($hitBranches) y) " +
+        "SELECT 0 AS part_id, turns_seen, turns_kept, turns_dropped, dropped_by_rule, scrub_hit_counts FROM base, br, sc"
     }
     val m = Map(
       "q1_agg" ->
@@ -978,20 +1012,22 @@ object SparkEntry {
           "SELECT conv_id, turn_idx, drop_reason = 'none' AS keep, drop_reason, " +
           s"${Scrubber.scrubSqlFull("text")} AS scrubbed_text " +
           "FROM d ORDER BY conv_id, turn_idx"),
-      "curate_metrics_cheap" -> {
-        val lastStage = s"s${Scrubber.patternSpecs.length}"
-        val hitBranches = Scrubber.patternSpecs.map { case (name, _) =>
-          s"SELECT '$name' AS k, CAST(sum(n_$name) AS BIGINT) AS n FROM $lastStage HAVING sum(n_$name) > 0"
-        }.mkString(" UNION ALL ")
-        s"WITH $cheapCte, $scrubStages, " +
-          s"base AS (SELECT count(*) AS turns_seen, " +
-          "CAST(sum(CASE WHEN drop_reason = 'none' THEN 1 ELSE 0 END) AS BIGINT) AS turns_kept, " +
-          s"CAST(sum(CASE WHEN drop_reason = 'none' THEN 0 ELSE 1 END) AS BIGINT) AS turns_dropped FROM $lastStage), " +
-          "br AS (SELECT coalesce('{' || string_agg('\"' || drop_reason || '\":' || n, ',' ORDER BY drop_reason) || '}', '{}') AS dropped_by_rule " +
-          s"FROM (SELECT drop_reason, count(*) AS n FROM $lastStage WHERE drop_reason <> 'none' GROUP BY 1) x), " +
-          "sc AS (SELECT coalesce('{' || string_agg('\"' || k || '\":' || n, ',' ORDER BY k) || '}', '{}') AS scrub_hit_counts " +
-          s"FROM ($hitBranches) y) " +
-          "SELECT 0 AS part_id, turns_seen, turns_kept, turns_dropped, dropped_by_rule, scrub_hit_counts FROM base, br, sc"
+      "curate_metrics_cheap" ->
+        s"WITH $cheapCte, $scrubStages, ${metricsTail(s"s${Scrubber.patternSpecs.length}")}",
+      "curate_metrics_product" -> {
+        // A2 metrics of the REAL-model run: the full product decision
+        // (cheap chain → langid → ppl) feeds the same staged scrub
+        // counts and map aggregations
+        val keys = Seq("conv_id", "turn_idx")
+        val (lBlock, lR) = OracleSql.langidCtes("d", keys, "L")
+        val (pBlock, pR) = OracleSql.pplCtes("d", keys, "P")
+        s"WITH $cheapCte, $lBlock, $pBlock, " +
+          "fin AS (SELECT d.text, d.drop_reason AS cheap, " +
+          "lr.lang AS plang, lr.conf AS pconf, pp.ppl AS pppl " +
+          s"FROM d LEFT JOIN $lR lr ON lr.conv_id = d.conv_id AND lr.turn_idx = d.turn_idx " +
+          s"LEFT JOIN $pR pp ON pp.conv_id = d.conv_id AND pp.turn_idx = d.turn_idx), " +
+          s"fin2 AS (SELECT text, ${OracleSql.productDecision()} AS drop_reason FROM fin), " +
+          s"${scrubStagesFrom("fin2")}, ${metricsTail(s"s${Scrubber.patternSpecs.length}")}"
       },
       "conv_last3" ->
         ("WITH t AS (SELECT source AS conv_id, " +
@@ -1179,6 +1215,8 @@ object SparkEntry {
     // exactly (a dropped/duplicated id in any cell breaks the compare).
     m + ("ann_ivf_indexed" -> m("ann_batch_topk")) +
       ("dedup_simhash" -> OracleSql.simhashSql()) +
-      ("dedup_minhash_clusters" -> OracleSql.minhashClustersSql())
+      ("dedup_minhash_clusters" -> OracleSql.minhashClustersSql()) +
+      // star contraction must equal the same transitive closure
+      ("dedup_components_star" -> m("dedup_components"))
   }
 }
