@@ -415,25 +415,21 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
     "conv_reassemble_curated" -> ((s, dir) => {
-      // R3 over the real curated pipeline output (langid/ppl gated —
-      // not SQL-expressible; rows-only check). Includes the A8
-      // conversation-summary last-3 slice (rag_chatbot.py:264-285).
-      curated(s, dir)
+      // R3 over the REAL product-config curated output — DuckDB-
+      // oracled since r4 (was rows-only "langid/ppl not SQL-
+      // expressible"): only turns the langid+ppl gate KEEPS are
+      // reassembled, in turn order, from the scrubbed text. The
+      // decision SQL is the curate_transcripts oracle reused as a
+      // subquery; the A8 last-3 slice is oracled separately
+      // (conv_last3).
+      Curate.curateDf(s, cheapTurns(s, dir), QualityRules.productConfig)
         .filter(F.col("keep"))
         .groupBy("conv_id")
         .agg(F.count(F.lit(1)).as("n_turns"),
           F.concat_ws(" ",
             F.transform(
               F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("scrubbed_text")))),
-              x => x.getField("scrubbed_text"))).as("reassembled"),
-          F.array_join({
-            // Python list[-3:] semantics: slice(arr, -3, 3) is EMPTY
-            // for arrays shorter than 3, so short arrays pass through
-            val roles = F.transform(
-              F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("role")))),
-              x => x.getField("role"))
-            F.when(F.size(roles) < 3, roles).otherwise(F.slice(roles, -3, 3))
-          }, "|").as("last_3_roles"))
+              x => x.getField("scrubbed_text"))).as("reassembled"))
         .orderBy("conv_id")
     }),
     "conv_reassemble_twophase" -> ((s, dir) => {
@@ -1217,6 +1213,13 @@ object SparkEntry {
       ("dedup_simhash" -> OracleSql.simhashSql()) +
       ("dedup_minhash_clusters" -> OracleSql.minhashClustersSql()) +
       // star contraction must equal the same transitive closure
-      ("dedup_components_star" -> m("dedup_components"))
+      ("dedup_components_star" -> m("dedup_components")) +
+      // kept-turn reassembly over the SAME composed real-model
+      // decision — the curate_transcripts oracle as a subquery
+      ("conv_reassemble_curated" ->
+        ("SELECT conv_id, count(*) AS n_turns, " +
+          "string_agg(scrubbed_text, ' ' ORDER BY turn_idx) AS reassembled " +
+          s"FROM (${m("curate_transcripts")}) sub WHERE keep " +
+          "GROUP BY conv_id ORDER BY conv_id"))
   }
 }
