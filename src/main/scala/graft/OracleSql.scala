@@ -20,8 +20,11 @@ import graft.rules.QualityRules
   * equals the engine's Float bit-for-bit; divisions that the engine
   * performs in Float stay REAL/REAL in SQL; Java-computed transcendental
   * constants (log 0.4, exp 30) are embedded as 17-digit literals rather
-  * than recomputed by DuckDB's libm. Remaining drift is summation order
-  * only, absorbed by the driver's 9-significant-digit normalization.
+  * than recomputed by DuckDB's libm. Float aggregates are ORDER-FORCED
+  * left-folds (`list_reduce(list(x ORDER BY pos), ...)`), never bare
+  * `sum()`: DuckDB's unordered sum can drift a ulp across builds /
+  * thread counts, which `exp` amplifies and a downstream `round` flips
+  * at a half-ulp boundary — exactly the CORRECTNESS_r04 red row.
   */
 object OracleSql {
 
@@ -126,8 +129,15 @@ object OracleSql {
     val k = keys.mkString(", ")
     val wcols = (0 until nL).map(l => s"CAST(c${l + 1} AS REAL) AS w$l").mkString(", ")
     val vcols = (0 to nL).map(i => s"c$i").mkString(", ")
+    // ORDER-FORCED left-fold, not sum(): the engine adds per-gram
+    // weights in gram-emission order (position ascending, gram length
+    // 1→3 within a position, LangId.foreachGramBucket); unordered
+    // float sum() has the same build/threading last-ulp exposure that
+    // flipped perplexity_turns in CORRECTNESS_r04.
     val sums = (0 until nL).map { l =>
-      s"sum(coalesce(CAST(w.w$l AS DOUBLE), CAST(CAST('${defaults(l)}' AS REAL) AS DOUBLE))) AS s$l"
+      s"list_reduce(list(coalesce(CAST(w.w$l AS DOUBLE), " +
+        s"CAST(CAST('${defaults(l)}' AS REAL) AS DOUBLE)) ORDER BY f.j, f.g), " +
+        s"(a, b) -> a + b) AS s$l"
     }.mkString(", ")
     val scols = (0 until nL).map(l => s"s$l").mkString(", ")
     val argmax = (0 until nL - 1)
@@ -138,10 +148,10 @@ object OracleSql {
       s"${p}n0 AS (SELECT $k, trim(regexp_replace(lower(substr(text, 1, 512)), '\\s+', ' ', 'g'), ' ') AS c0 FROM $src), " +
         s"${p}n1 AS (SELECT $k, CASE WHEN c0 = '' THEN ' ' ELSE ' ' || c0 || ' ' END AS s FROM ${p}n0), " +
         s"${p}p AS (SELECT $k, s, unnest(range(1, length(s) + 1)) AS j FROM ${p}n1), " +
-        s"${p}g AS (SELECT $k, unicode(s[j]) AS c1, CAST(NULL AS BIGINT) AS c2, CAST(NULL AS BIGINT) AS c3 FROM ${p}p " +
-        s"UNION ALL SELECT $k, unicode(s[j-1]), unicode(s[j]), NULL FROM ${p}p WHERE j >= 2 " +
-        s"UNION ALL SELECT $k, unicode(s[j-2]), unicode(s[j-1]), unicode(s[j]) FROM ${p}p WHERE j >= 3), " +
-        s"${p}f AS (SELECT $k, " +
+        s"${p}g AS (SELECT $k, j, 1 AS g, unicode(s[j]) AS c1, CAST(NULL AS BIGINT) AS c2, CAST(NULL AS BIGINT) AS c3 FROM ${p}p " +
+        s"UNION ALL SELECT $k, j, 2, unicode(s[j-1]), unicode(s[j]), NULL FROM ${p}p WHERE j >= 2 " +
+        s"UNION ALL SELECT $k, j, 3, unicode(s[j-2]), unicode(s[j-1]), unicode(s[j]) FROM ${p}p WHERE j >= 3), " +
+        s"${p}f AS (SELECT $k, j, g, " +
         "(xor(2166136261, c1) * 16777619) % 4294967296 AS f1, " +
         "CASE WHEN c2 IS NULL THEN f1 ELSE (xor(f1, c2) * 16777619) % 4294967296 END AS f2, " +
         "CASE WHEN c3 IS NULL THEN f2 ELSE (xor(f2, c3) * 16777619) % 4294967296 END AS f3, " +
@@ -202,12 +212,20 @@ object OracleSql {
         s"FROM ${p}lk q LEFT JOIN ${p}lm n1 ON n1.kk = q.k1 LEFT JOIN ${p}lm n2 ON n2.kk = q.k2 " +
         s"LEFT JOIN ${p}lm n3 ON n3.kk = q.k3 LEFT JOIN ${p}lm d2 ON d2.kk = q.kd2 " +
         s"LEFT JOIN ${p}lm d3 ON d3.kk = q.kd3), " +
-        s"${p}lp AS (SELECT $k, ntok, CASE " +
+        s"${p}lp AS (SELECT $k, ntok, pos, CASE " +
         "WHEN pos >= 3 AND c3n IS NOT NULL THEN ln(c3n / cd3) " +
         s"WHEN pos >= 2 AND c2n IS NOT NULL THEN (CASE WHEN pos >= 3 THEN $lb ELSE 0.0 END) + ln(c2n / cd2) " +
         s"WHEN c1n IS NOT NULL THEN (least(3, pos) - 1) * $lb + ln(c1n / $den1f) " +
         s"ELSE (least(3, pos) - 1) * $lb + ln(1.0 / $den1d) END AS logp FROM ${p}j), " +
-        s"${p}pp AS (SELECT $k, exp(least(30.0, greatest(0.0, -sum(logp) / max(ntok)))) AS ppl " +
+        // ORDER-FORCED left-fold, not sum(): the engine accumulates
+        // log-probs sequentially by position (NGramLM.perplexity), and
+        // DuckDB's unordered float sum() can differ in the last ulp
+        // depending on build/threading — which exp() amplifies and a
+        // downstream round() can flip at a half-ulp boundary (the one
+        // red row in CORRECTNESS_r04). list_reduce over a pos-ordered
+        // list reproduces the engine's left-fold ulp-for-ulp.
+        s"${p}pp AS (SELECT $k, exp(least(30.0, greatest(0.0, " +
+        s"-list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) / max(ntok)))) AS ppl " +
         s"FROM ${p}lp GROUP BY $k)"
     (block, s"${p}pp")
   }
@@ -286,12 +304,33 @@ object OracleSql {
     * value-compared, not approximated.
     */
   def minhashClustersSql(numHashes: Int = 64, bands: Int = 16): String = {
+    val (block, _, banded) = minhashSketchCtes(
+      "(SELECT doc_id AS id, doc_id AS tid, text FROM documents)", numHashes, bands)
+    s"WITH $block, " +
+      s"bmin AS (SELECT id, band, min(id) OVER (PARTITION BY band, bhv) AS bucket_rep FROM $banded), " +
+      "rep AS (SELECT id, min(bucket_rep) AS rep_id FROM bmin GROUP BY id) " +
+      "SELECT id, rep_id FROM rep WHERE rep_id <> id ORDER BY id"
+  }
+
+  /** Shared MinHash sketch CTE chain over `srcCte` (a parenthesized
+    * subquery exposing id, tid, text): per-(id, tid) word tokens →
+    * 3-gram shingle fold (lag-chained splitmix64) → DISTINCT (id, sh)
+    * union shingle set → `numHashes` seeded permutations with SIGNED
+    * min (sigs: id, f, sv) → band×row folded bucket hashes (banded:
+    * id, band, bhv). Element-wise min across a group's members equals
+    * the MinHash of the UNION shingle set, so the one chain serves
+    * both doc-level sketches (tid = id) and conversation-level
+    * [[graft.functions.MinHashAgg]] union sketches (tid = turn).
+    * Returns (cteBlock, sigsCte, bandedCte).
+    */
+  private def minhashSketchCtes(
+      srcCte: String, numHashes: Int, bands: Int): (String, String, String) = {
     val rows = numHashes / bands
     require(rows == 4, "fold below is unrolled for 4 rows per band")
     val seed3 = s"CAST('${u(0x2545f4914f6cdd1dL)}' AS HUGEINT)"
     val seeds = (0 until numHashes).map(f =>
       s"($f,${graft.util.Hash.mix(f.toLong + 0x100001b3L)})").mkString(",")
-    val (whBlock, whCte) = wordHashCtes("tk", Seq("id", "nw", "pos"), "W")
+    val (whBlock, whCte) = wordHashCtes("tk", Seq("id", "tid", "nw", "pos"), "W")
     // hot stage: |shingles| × 64 rows — staged CTE mix, never lateral
     val hxBlock = mixCtes("hx0", Seq("id", "f"), "shx", "hv", "hs")
     // band fold h = mix(h ^ s_r) chained over the 4 rows — each mix a
@@ -312,14 +351,14 @@ object OracleSql {
       }
       (sb.toString, src)
     }
-    s"WITH t0 AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '$tokenRegex') AS ws FROM documents), " +
-      "tk AS (SELECT id, len(ws) AS nw, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM t0 WHERE len(ws) > 0), " +
+    val block = s"t0 AS (SELECT id, tid, regexp_extract_all(lower(text), '$tokenRegex') AS ws FROM $srcCte), " +
+      "tk AS (SELECT id, tid, len(ws) AS nw, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM t0 WHERE len(ws) > 0), " +
       s"$whBlock, " +
-      s"g1 AS (SELECT id, nw, pos, wh, ${mixCols("xa", s"xor($seed3, wh)", "c1")} FROM $whCte), " +
-      "l1 AS (SELECT id, nw, pos, wh, c1, lag(c1) OVER (PARTITION BY id ORDER BY pos) AS p1 FROM g1), " +
-      s"g2 AS (SELECT id, nw, pos, wh, ${mixCols("xb", "xor(p1, wh)", "c2")} FROM l1), " +
-      "l2 AS (SELECT id, nw, pos, wh, c2, lag(c2) OVER (PARTITION BY id ORDER BY pos) AS p2 FROM g2), " +
-      s"g3 AS (SELECT id, nw, pos, wh, ${mixCols("xc", "xor(p2, wh)", "h3")} FROM l2), " +
+      s"g1 AS (SELECT id, tid, nw, pos, wh, ${mixCols("xa", s"xor($seed3, wh)", "c1")} FROM $whCte), " +
+      "l1 AS (SELECT id, tid, nw, pos, wh, c1, lag(c1) OVER (PARTITION BY id, tid ORDER BY pos) AS p1 FROM g1), " +
+      s"g2 AS (SELECT id, tid, nw, pos, wh, ${mixCols("xb", "xor(p1, wh)", "c2")} FROM l1), " +
+      "l2 AS (SELECT id, tid, nw, pos, wh, c2, lag(c2) OVER (PARTITION BY id, tid ORDER BY pos) AS p2 FROM g2), " +
+      s"g3 AS (SELECT id, tid, nw, pos, wh, ${mixCols("xc", "xor(p2, wh)", "h3")} FROM l2), " +
       "shd AS (SELECT DISTINCT id, CASE WHEN nw >= 3 THEN h3 ELSE wh END AS sh FROM g3 " +
       "WHERE (nw >= 3 AND pos >= 3) OR nw < 3), " +
       s"seeds AS (SELECT c0 AS f, ${toU("c1")} AS sd FROM (VALUES $seeds) v(c0, c1)), " +
@@ -330,10 +369,36 @@ object OracleSql {
       (0 until rows).map(r => s"max(CASE WHEN f % $rows = $r THEN sv END) AS s$r")
         .mkString(", ") +
       s" FROM sigs GROUP BY id, f // $rows), " +
-      s"${fold._1}, " +
-      s"bmin AS (SELECT id, band, min(id) OVER (PARTITION BY band, bhv) AS bucket_rep FROM ${fold._2}), " +
-      "rep AS (SELECT id, min(bucket_rep) AS rep_id FROM bmin GROUP BY id) " +
-      "SELECT id, rep_id FROM rep WHERE rep_id <> id ORDER BY id"
+      s"${fold._1}"
+    (block, "sigs", fold._2)
+  }
+
+  /** Full SQL replication of [[graft.dedup.Dedup.convNearDups]] over
+    * doc-derived conversations (conv = source, turn = doc) plus the
+    * min-source conversation planted again under 'dup::<source>': the
+    * custom MinHashAgg union sketch is the element-wise min across
+    * turns, which equals the MinHash of the union shingle set — so the
+    * shared sketch chain keyed (conv, doc) replays it exactly. Pairs
+    * come from the same banded-fold equi-join; the signature-agreement
+    * estimate eq/numHashes is compared as an integer count (k/64 has
+    * ≤ 6 decimal digits, so round(·, 6) is exact on both engines).
+    */
+  def convDedupSql(
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16): String = {
+    val src = "(SELECT source AS id, doc_id AS tid, text FROM documents " +
+      "UNION ALL SELECT 'dup::' || source, doc_id, text FROM documents " +
+      "WHERE source = (SELECT min(source) FROM documents))"
+    val (block, sigs, banded) = minhashSketchCtes(src, numHashes, bands)
+    // est >= threshold ⟺ integer agreement count >= ceil(t·n)
+    val minEq = math.ceil(threshold * numHashes).toInt
+    s"WITH $block, " +
+      s"cpairs AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM $banded l " +
+      s"JOIN $banded r ON l.band = r.band AND l.bhv = r.bhv AND l.id < r.id), " +
+      s"cagree AS (SELECT p.id_a, p.id_b, sum(CASE WHEN a.sv = b.sv THEN 1 ELSE 0 END) AS neq " +
+      s"FROM cpairs p JOIN $sigs a ON a.id = p.id_a " +
+      s"JOIN $sigs b ON b.id = p.id_b AND b.f = a.f GROUP BY p.id_a, p.id_b) " +
+      s"SELECT id_a, id_b, round(CAST(neq AS DOUBLE) / $numHashes, 6) AS est_jaccard " +
+      s"FROM cagree WHERE neq >= $minEq ORDER BY id_a, id_b"
   }
 
   /** The product-config decision tail: lang gate + ppl gate after the

@@ -631,13 +631,22 @@ object SparkEntry {
         .orderBy("id")
     }),
     "dedup_conversations" -> ((s, dir) => {
-      // conversation-level near-dup via the custom MinHashAgg aggregate;
-      // synth corpus: plant a duplicated conversation
-      import s.implicits._
-      val base = synthTurns(s, dir)
-      val dup = Transcripts.conversation(42L, 1L)
-        .map(_._1.copy(conv_id = "conv-dup-of-1")).toDF()
-      Dedup.convNearDups(base.unionByName(dup), threshold = 0.7)
+      // conversation-level near-dup via the custom MinHashAgg
+      // TypedImperativeAggregate — DuckDB-oracled since r5 (was a
+      // synth-corpus rows-only check): conv = source over documents
+      // (turn = doc), with the min-source conversation planted again
+      // under 'dup::<source>' so a true near-dup pair exists. The
+      // oracle (OracleSql.convDedupSql) replays per-turn shingles, the
+      // element-wise-min union sketch, banded folds, band join and the
+      // signature-agreement estimate bit-exactly. The synth-corpus
+      // twin stays covered by DedupSimilaritySpec.
+      val docs = tbl(s, dir, "documents")
+      val srcMin = docs.agg(F.min("source")).head().getString(0) // 1 value
+      val turns = docs.select(F.col("source").as("conv_id"), F.col("text"))
+      val dup = docs.filter(F.col("source") === srcMin)
+        .select(F.concat(F.lit("dup::"), F.col("source")).as("conv_id"),
+          F.col("text"))
+      Dedup.convNearDups(turns.unionByName(dup), threshold = 0.7)
         .withColumn("est_jaccard", r6(F.col("est_jaccard")))
         .orderBy("id_a", "id_b")
     }),
@@ -1212,6 +1221,8 @@ object SparkEntry {
     m + ("ann_ivf_indexed" -> m("ann_batch_topk")) +
       ("dedup_simhash" -> OracleSql.simhashSql()) +
       ("dedup_minhash_clusters" -> OracleSql.minhashClustersSql()) +
+      // conversation-level MinHashAgg union sketch replayed in SQL
+      ("dedup_conversations" -> OracleSql.convDedupSql()) +
       // star contraction must equal the same transitive closure
       ("dedup_components_star" -> m("dedup_components")) +
       // kept-turn reassembly over the SAME composed real-model

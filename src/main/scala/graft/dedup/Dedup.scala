@@ -231,23 +231,36 @@ object Dedup extends Serializable {
       else bandHashes(scala.collection.immutable.ArraySeq.unsafeWrapArray(
         minhashSignature(sh, numHashes)), bands, rows)
     }
+    // sketch computed ONCE: the pinned rows are (id, band, bh) —
+    // ids + ints only, never text — so the bucket-min aggregate and
+    // the join-back below are two cheap jobs over pinned rows, not two
+    // sketch passes (same pin technique as ngramNearDupsPrefix)
     val banded = df
       .select(F.col(idCol).as("id"), bandU(F.col(textCol)).as("bs"))
       .select(F.col("id"), F.explode_outer(F.col("bs")).as("b"))
       .select(F.col("id"), F.col("b._1").as("band"), F.col("b._2").as("bh"))
-    // bucket min via window (one shuffle on (band, bh)) instead of a
-    // groupBy + self-join, which would re-run the sketch UDF over the
-    // whole corpus for the second DAG branch; token-less rows (null
-    // band from explode_outer) fall into per-id singleton buckets.
-    // Skew note: a hot bucket sorts on one task (O(g log g)) — same
-    // single-reducer locality the join shape had, with the sketch
-    // computed once instead of twice (measured 2.6x at sf0.1)
-    val w = Window.partitionBy(F.col("band"),
-      F.when(F.col("band").isNull, F.col("id")).otherwise(F.col("bh")))
-    banded
-      .withColumn("bucket_rep",
-        F.when(F.col("band").isNull, F.col("id"))
-          .otherwise(F.min("id").over(w)))
+      .localCheckpoint(true)
+    // TWO-PHASE bucket min (not a window): map-side partial min bounds
+    // per-task state to #distinct buckets per map task, and the reduce
+    // side of the aggregate sees at most one row per (bucket, map
+    // task) — no task ever materializes O(group) rows, where the
+    // previous `min(id) over (partition by band, bh)` sorted every
+    // member of a hot bucket (boilerplate repeated 10^7 times at
+    // 100 TB) on ONE task. The join-back keys a hot bucket to one
+    // partition too, but its build side is exactly one row per bucket
+    // (shuffle_hash, no sort) and AQE's skew-join split applies —
+    // neither holds group-sized state. Bucket-min VALUES are unchanged,
+    // so the bit-exact DuckDB oracle (OracleSql.minhashClustersSql)
+    // is unaffected. Token-less rows (null band from explode_outer)
+    // fall into per-id singleton buckets.
+    val keyed = banded
+      .withColumn("gband", F.coalesce(F.col("band"), F.lit(-1)))
+      .withColumn("gkey",
+        F.when(F.col("band").isNull, F.col("id").cast("string"))
+          .otherwise(F.col("bh").cast("string")))
+      .select("id", "gband", "gkey")
+    val mins = keyed.groupBy("gband", "gkey").agg(F.min("id").as("bucket_rep"))
+    keyed.join(mins.hint("shuffle_hash"), Seq("gband", "gkey"))
       .groupBy("id").agg(F.min("bucket_rep").as("rep_id"))
   }
 

@@ -119,6 +119,27 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got(4L) == 0L && got(79L) == 79L) // dup family collapses; token-less self
   }
 
+  test("minhashClusters: two-phase bucket min — no Window, mega-group exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    // a planted mega-duplicate group (identical text → identical
+    // buckets) plus distinct rows: the r4 shape sorted all 5000
+    // members of the hot bucket on one task; the two-phase aggregate
+    // must produce the same VALUES with no WindowExec anywhere
+    val fixture = (0 until 5050).map { i =>
+      val t =
+        if (i < 5000) "the same boilerplate sentence repeated at massive scale here"
+        else s"distinct filler row number $i with its own words and content"
+      (i.toLong, t)
+    }
+    val df = Dedup.minhashClusters(fixture.toDF("id", "text"), "id", "text")
+    val windows = df.queryExecution.executedPlan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty, "bucket min must be a two-phase aggregate, not a window sort")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 5000).forall(i => got(i.toLong) == 0L))
+    assert(got.size == 5050)
+  }
+
   test("topKLsh == brute force restricted to band-sharing candidates") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val vecs = emb.collect()
