@@ -1,5 +1,6 @@
 package graft
 
+import graft.grammar.Cyk
 import graft.lm.NGramLM
 import graft.pipeline.Curate
 import graft.rules.QualityRules
@@ -399,6 +400,72 @@ object OracleSql {
       s"JOIN $sigs b ON b.id = p.id_b AND b.f = a.f GROUP BY p.id_a, p.id_b) " +
       s"SELECT id_a, id_b, round(CAST(neq AS DOUBLE) / $numHashes, 6) AS est_jaccard " +
       s"FROM cagree WHERE neq >= $minEq ORDER BY id_a, id_b"
+  }
+
+  /** Full SQL replication of [[graft.grammar.Cyk.parseSentence]] over a
+    * fixed sentence list: CYK is bottom-up span filling, so the table
+    * unrolls as one CTE per span length — cum1 is the diagonal (lexicon
+    * tags, or the unknown-word POS guess; the unary closure is a no-op
+    * on the diagonal because lexicon tags map only to themselves and
+    * PP never appears there), and each cum_l joins every (x, y) split
+    * with the binary grammar. Lexicon, grammar and sentences ship as
+    * VALUES — the same dump technique as the langid weight matrix.
+    * Pure string/set logic, no float anywhere. Reference:
+    * cfg_generator.py:423-500.
+    */
+  def cykSql(sentences: Seq[String]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    require(sentences.nonEmpty, "cykSql needs at least one sentence")
+    val sent = sentences.zipWithIndex
+      .map { case (s, i) => s"($i, '${esc(s)}')" }.mkString(", ")
+    val lex = Cyk.lexicon.toSeq.sortBy(_._1)
+      .flatMap { case (w, ts) => ts.toSeq.sorted.map(t => s"('${esc(w)}', '$t')") }
+      .mkString(", ")
+    val gram = Cyk.binaryGrammar.toSeq.sortBy(x => (x._1._1, x._1._2))
+      .flatMap { case ((l, r), ps) => ps.map(p => s"('$l', '$r', '$p')") }
+      .mkString(", ")
+    val maxN = sentences.map(_.split("\\s+").count(_.nonEmpty)).max
+    // Python word.lower().strip('.,!?";') — strip both ends after lower
+    val cleaned = "regexp_replace(regexp_replace(lower(raw), " +
+      "'^[.,!?\";]+', ''), '[.,!?\";]+$', '')"
+    val sb = new StringBuilder
+    sb ++= s"WITH sent AS (SELECT c0 AS sid, c1 AS s FROM (VALUES $sent) v(c0, c1)), "
+    sb ++= "wl AS (SELECT sid, list_filter(regexp_split_to_array(s, '\\s+'), x -> x <> '') AS ws FROM sent), "
+    sb ++= "w AS (SELECT sid, unnest(range(1, len(ws) + 1)) AS i, unnest(ws) AS raw FROM wl WHERE len(ws) > 0), "
+    sb ++= s"cw AS (SELECT sid, i, raw, $cleaned AS cleaned FROM w), "
+    sb ++= s"lex AS (SELECT c0 AS word, c1 AS tag FROM (VALUES $lex) v(c0, c1)), "
+    sb ++= s"gram AS (SELECT c0 AS gl, c1 AS gr, c2 AS gp FROM (VALUES $gram) v(c0, c1, c2)), "
+    // diagonal: lexicon tags, else guessPosCyk (the uppercase branch
+    // and the default branch both yield N, so only the suffixes matter)
+    sb ++= "known AS (SELECT cw.sid, cw.i AS a, cw.i AS j, lex.tag AS sym FROM cw JOIN lex ON lex.word = cw.cleaned), "
+    sb ++= "unk AS (SELECT sid, i, raw, cleaned FROM cw WHERE cleaned NOT IN (SELECT word FROM lex)), "
+    sb ++= "guess AS (SELECT sid, i AS a, i AS j, CASE WHEN ends_with(cleaned, 'ly') THEN 'ADV' " +
+      "WHEN ends_with(cleaned, 'ing') OR ends_with(cleaned, 'ed') THEN 'V' ELSE 'N' END AS sym FROM unk), "
+    // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default and
+    // each cum_l references cum_{l-1} TWICE (the x/y split sides) — an
+    // inlined chain expands 2^maxN copies of the diagonal
+    sb ++= "cum1 AS MATERIALIZED (SELECT * FROM known UNION SELECT * FROM guess)"
+    (2 to maxN).foreach { l =>
+      val prev = s"cum${l - 1}"
+      sb ++= s", c$l AS (SELECT DISTINCT x.sid, x.a, y.j, g.gp AS sym " +
+        s"FROM $prev x JOIN $prev y ON y.sid = x.sid AND y.a = x.j + 1 AND y.j = x.a + ${l - 1} " +
+        "JOIN gram g ON g.gl = x.sym AND g.gr = y.sym)"
+      sb ++= s", cum$l AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM c$l)"
+    }
+    val top = s"cum$maxN"
+    sb ++= s", n AS (SELECT sid, max(i) AS n FROM w GROUP BY sid)"
+    sb ++= s", sval AS (SELECT DISTINCT sid, j FROM $top WHERE sym = 'S' AND a = 1)"
+    sb ++= ", unkagg AS (SELECT sid, string_agg(raw, ', ' ORDER BY i) AS uw FROM unk GROUP BY sid) "
+    sb ++= "SELECT s.s AS sentence, " +
+      "CASE WHEN n.n IS NULL THEN false ELSE sv.sid IS NOT NULL END AS valid, " +
+      "CASE WHEN n.n IS NULL THEN 'Empty sentence' " +
+      "WHEN sv.sid IS NOT NULL THEN 'Grammatically correct' " +
+      "WHEN u.uw IS NOT NULL THEN 'Unknown words: ' || u.uw " +
+      "ELSE 'Invalid sentence structure' END AS reason " +
+      "FROM sent s LEFT JOIN n ON n.sid = s.sid " +
+      "LEFT JOIN sval sv ON sv.sid = s.sid AND sv.j = n.n " +
+      "LEFT JOIN unkagg u ON u.sid = s.sid ORDER BY sentence"
+    sb.toString
   }
 
   /** The product-config decision tail: lang gate + ppl gate after the

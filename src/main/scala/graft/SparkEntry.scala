@@ -47,11 +47,26 @@ object SparkEntry {
   // computing in double precision; 1e-12-scale engine noise only)
   private def r6(c: org.apache.spark.sql.Column) = F.round(c, 6)
 
+  /** cyk_parse input sentences — ONE definition consumed by both the
+    * query and the oracle SQL (OracleSql.cykSql) so they cannot drift.
+    */
+  private[graft] def cykSentences: Seq[String] = {
+    val canonical = Seq(
+      "the dog sees the cat", "the teacher is good",
+      "he are running", "colorless green ideas sleep furiously")
+    canonical ++ Transcripts.trainingCorpus(seed = 3L, perLang = 10)
+      .filter(_._2 == "en").map(_._1).flatMap(Cyk.splitSentences)
+  }
+
   // deterministic noise planted into the (clean) documents corpus so
   // the scrub-diff / grammar-count demonstration queries are
   // non-vacuous; mirrored verbatim in the oracle SQL
   private val plantedPii = " contact bob@example.com or https://ex.co/a now !!"
   private val plantedErrors = " he are happy and they is here. it focus on the data."
+  // exactly TWO deduped grammar hits (below curate_grammar's
+  // maxRuleHits = 3 gate): "he are" (same-span BASIC_SUBJ_VERB +
+  // BASIC_001 collapse to one) and "they is"
+  private val plantedErrors2 = " he are happy and they is here."
 
   /** In-distribution English text (clean training-corpus sentences
     * joined to 67 words) for the planted KEEP row of the product-config
@@ -105,6 +120,35 @@ object SparkEntry {
       .select(F.col("source").as("conv_id"),
         F.row_number().over(w).as("turn_idx"),
         F.lit("user").as("role"), planted.as("text"),
+        F.lit("").as("tool"), F.lit(null).cast("timestamp").as("ts"))
+  }
+
+  /** Turns for the GRAMMAR-gated decision query (curate_grammar): text
+    * is WHOLLY synthetic from doc_id so grammar hits come ONLY from
+    * planted fragments whose deduped hit count is SQL-countable —
+    * corpus text could fire the POS-bigram or the anchored
+    * incomplete-sentence rule, which no regexp-count oracle can
+    * replicate. Variants (doc_id % 5):
+    *   0 → plantedKeep + plantedErrors  (3 deduped hits → 'grammar')
+    *   1 → plantedKeep + plantedErrors2 (2 hits → keep, hits recorded)
+    *   2 → 3-word text WITH a hit       ('too_short': cheap precedes grammar)
+    *   3 → spam×60 + plantedErrors      ('repetition': grammar never runs)
+    *   else → plantedKeep               (clean keep, 0 hits)
+    */
+  private def grammarTurns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val d = F.col("doc_id")
+    val repText = F.concat_ws(" ",
+      F.transform(F.sequence(F.lit(1), F.lit(60)), _ => F.lit("spam")))
+    val text = F.when(d % 5 === 0, F.lit(plantedKeep + plantedErrors))
+      .when(d % 5 === 1, F.lit(plantedKeep + plantedErrors2))
+      .when(d % 5 === 2, F.lit("he are short."))
+      .when(d % 5 === 3, F.concat(repText, F.lit(plantedErrors)))
+      .otherwise(F.lit(plantedKeep))
+    tbl(s, dir, "documents")
+      .select(F.col("source").as("conv_id"),
+        F.row_number().over(w).as("turn_idx"),
+        F.lit("user").as("role"), text.as("text"),
         F.lit("").as("tool"), F.lit(null).cast("timestamp").as("ts"))
   }
 
@@ -323,6 +367,21 @@ object SparkEntry {
           F.coalesce(F.col("drop_reason"), F.lit("none")).as("drop_reason"),
           F.col("scrubbed_text"))
         .orderBy("conv_id", "turn_idx")),
+    "curate_grammar" -> ((s, dir) => {
+      // the GRAMMAR gate's composed decision under the DuckDB oracle
+      // (r4 verdict "What's missing" #4): cheap chain → ruleHits count
+      // vs maxRuleHits — over grammarTurns' planted deterministic-hit
+      // rows, so the oracle can recount the deduped hits with
+      // regexp_extract_all and replay the gate ordering
+      Curate.curateDf(s, grammarTurns(s, dir),
+          QualityRules.cheapConfig.copy(grammarEnabled = true))
+        .select(F.col("conv_id"), F.col("turn_idx"),
+          F.size(F.col("rule_hits")).cast("long").as("n_rule_hits"),
+          F.col("keep"),
+          F.coalesce(F.col("drop_reason"), F.lit("none")).as("drop_reason"),
+          F.col("scrubbed_text"))
+        .orderBy("conv_id", "turn_idx")
+    }),
     "curate_metrics_cheap" -> ((s, dir) =>
       // A2 metrics over the same cheap-config run — dropped_by_rule and
       // scrub_hit_counts maps (canonical sorted-key JSON) vs SQL-built
@@ -538,14 +597,13 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
     "cyk_parse" -> ((s, dir) => {
-      // G6/G7: CYK validity over canonical + synthesized sentences
+      // G6/G7: CYK validity over canonical + synthesized sentences —
+      // DuckDB-oracled since r5: the bottom-up span fill replays as an
+      // unrolled per-span-length SQL CTE chain over the same dumped
+      // lexicon/grammar VALUES (OracleSql.cykSql; sentences shared via
+      // cykSentences so query and oracle can never drift)
       import s.implicits._
-      val canonical = Seq(
-        "the dog sees the cat", "the teacher is good",
-        "he are running", "colorless green ideas sleep furiously")
-      val synth = Transcripts.trainingCorpus(seed = 3L, perLang = 10)
-        .filter(_._2 == "en").map(_._1).flatMap(Cyk.splitSentences)
-      (canonical ++ synth).toDF("sentence")
+      cykSentences.toDF("sentence")
         .withColumn("parsed",
           F.udf((t: String) => Cyk.parseSentence(t)).apply(F.col("sentence")))
         .select(F.col("sentence"), F.col("parsed.valid").as("valid"),
@@ -1017,6 +1075,43 @@ object SparkEntry {
           "SELECT conv_id, turn_idx, drop_reason = 'none' AS keep, drop_reason, " +
           s"${Scrubber.scrubSqlFull("text")} AS scrubbed_text " +
           "FROM d ORDER BY conv_id, turn_idx"),
+      "curate_grammar" -> {
+        // grammarTurns mirrored verbatim; the planted-fragment hit
+        // count is recomputed with regexp_extract_all ("he are" fires
+        // BASIC_SUBJ_VERB and BASIC_001 on the SAME span — the
+        // engine's overlap-dedup collapses them to one, counted once
+        // here), then the gate ordering replays as a CASE chain
+        val dec = "CASE WHEN cheap <> 'none' THEN cheap " +
+          "WHEN n_rule_hits >= 3 THEN 'grammar' ELSE 'none' END"
+        s"WITH g0 AS (SELECT source, doc_id, CASE " +
+          s"WHEN doc_id % 5 = 0 THEN '$plantedKeep$plantedErrors' " +
+          s"WHEN doc_id % 5 = 1 THEN '$plantedKeep$plantedErrors2' " +
+          "WHEN doc_id % 5 = 2 THEN 'he are short.' " +
+          "WHEN doc_id % 5 = 3 THEN array_to_string(list_transform(range(1, 61), i -> 'spam'), ' ') " +
+          s"|| '$plantedErrors' ELSE '$plantedKeep' END AS text FROM documents), " +
+          "gt AS (SELECT source AS conv_id, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS turn_idx, text FROM g0), " +
+          "gm AS (SELECT conv_id, turn_idx, text, " +
+          "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS wc, " +
+          "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS lw FROM gt), " +
+          "gr AS (SELECT conv_id, turn_idx, text, wc, " +
+          "CASE WHEN len(lw) = 0 THEN 1.0 ELSE len(list_distinct(lw)) * 1.0 / len(lw) END AS dr, " +
+          "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) * 1.0 / length(text) END AS sr FROM gm), " +
+          "gch AS (SELECT conv_id, turn_idx, text, " +
+          "CASE WHEN wc = 0 THEN 'empty' WHEN wc < 50 THEN 'too_short' " +
+          "WHEN wc > 2000 OR length(text) > 8000 THEN 'too_long' " +
+          "WHEN wc >= 20 AND dr < 0.3 THEN 'repetition' " +
+          "WHEN sr > 0.3 THEN 'symbol_ratio' " +
+          s"WHEN regexp_matches(text, '${QualityRules.boilerplateRegexRe2}') THEN 'boilerplate' " +
+          "ELSE 'none' END AS cheap FROM gr), " +
+          "gh AS (SELECT conv_id, turn_idx, text, cheap, CASE WHEN cheap <> 'none' THEN 0 ELSE " +
+          "len(regexp_extract_all(text, '(?i)\\bhe\\s+are\\b')) + " +
+          "len(regexp_extract_all(text, '(?i)\\b(they|we|you)\\s+is\\b')) + " +
+          "len(regexp_extract_all(text, '(?i)\\bfocus\\s+on\\b')) END AS n_rule_hits FROM gch) " +
+          "SELECT conv_id, turn_idx, CAST(n_rule_hits AS BIGINT) AS n_rule_hits, " +
+          s"$dec = 'none' AS keep, $dec AS drop_reason, " +
+          s"${Scrubber.scrubSqlFull("text")} AS scrubbed_text " +
+          "FROM gh ORDER BY conv_id, turn_idx"
+      },
       "curate_metrics_cheap" ->
         s"WITH $cheapCte, $scrubStages, ${metricsTail(s"s${Scrubber.patternSpecs.length}")}",
       "curate_metrics_product" -> {
@@ -1223,6 +1318,8 @@ object SparkEntry {
       ("dedup_minhash_clusters" -> OracleSql.minhashClustersSql()) +
       // conversation-level MinHashAgg union sketch replayed in SQL
       ("dedup_conversations" -> OracleSql.convDedupSql()) +
+      // CYK span fill unrolled per span length over the dumped grammar
+      ("cyk_parse" -> OracleSql.cykSql(cykSentences)) +
       // star contraction must equal the same transitive closure
       ("dedup_components_star" -> m("dedup_components")) +
       // kept-turn reassembly over the SAME composed real-model

@@ -27,10 +27,11 @@ import graft.tableio.TableIO
   *
   * Mutations keep the index consistent WITHOUT re-clustering: centroids
   * are fixed at build time, so an added row's cell is a pure function
-  * of its embedding — `add` rewrites only the receiving cells, `delete`
-  * anti-joins ids per cell (scale note: a reverse id→cell index or
-  * per-cell bloom in the manifest would prune delete rewrites; here
-  * every cell is checked, copy-on-write keeps it correct).
+  * of its embedding — `add` stages every receiving cell in ONE
+  * partitionBy job (job count independent of cell count), and `delete`
+  * anti-joins ids only in cells whose manifest id range can contain
+  * them (a bloom filter in the manifest would prune non-contiguous id
+  * sets even harder; the range covers the common monotonic-id case).
   */
 final class IvfIndex private[knn] (
     spark: SparkSession,
@@ -100,65 +101,176 @@ final class IvfIndex private[knn] (
       .limit(k)
   }
 
-  /** Index new rows under the FIXED centroids; rewrites only receiving
-    * cells. Id-idempotent: rows whose id a cell already holds are
-    * skipped (so a crashed caller can redo the whole add safely).
+  /** Index new rows under the FIXED centroids. ONE staging job writes
+    * every receiving cell (the previous shape ran one Spark write job
+    * per cell — hundreds of sequential jobs for a batch touching
+    * hundreds of cells): existing rows of the affected cells union the
+    * id-deduped new rows and land partitionBy(part_id) in a single
+    * pass (the build path's own commit shape), then each staged cell
+    * directory is atomically moved into place — metadata ops, no
+    * further jobs. The only driver collect is the receiving CELL IDS
+    * (≤ nCells ints, never rows). Id-idempotent: rows whose id a cell
+    * already holds are skipped, so a crashed caller can redo the whole
+    * add safely.
     */
   def add(df: DataFrame): Unit = {
+    val pc = TableIO.PART_COL
     val batch = withCells(df).cache()
     try {
-      val affected = batch.select(TableIO.PART_COL).distinct()
+      val affected = batch.select(pc).distinct()
         .collect().map(_.getInt(0)).sorted
+      if (affected.isEmpty) return
       val done = TableIO.donePartitions(base)
-      affected.foreach { cell =>
-        val newRows = batch.filter(F.col(TableIO.PART_COL) === cell)
-          .drop(TableIO.PART_COL)
-        val merged =
-          if (done.contains(cell)) {
-            val existing = TableIO.readPartition(spark, base, cell)
-            existing.unionByName(
-              newRows.join(existing.select(idCol), Seq(idCol), "left_anti"))
-          } else newRows
-        commitCell(merged, cell)
+      val existingCells = affected.filter(done.contains)
+      val merged =
+        if (existingCells.isEmpty) batch
+        else {
+          val existing = spark.read.option("basePath", base)
+            .parquet(existingCells.map(c => TableIO.partitionDir(base, c).toString): _*)
+            .select(F.col(idCol), F.col(embCol), F.col(pc).cast("int").as(pc))
+          existing.unionByName(
+            batch.join(existing.select(pc, idCol), Seq(pc, idCol), "left_anti"))
+        }
+      val staging = Paths.get(base, "_staging_add")
+      TableIO.deleteRecursive(staging)
+      merged.write.partitionBy(pc).mode("overwrite").parquet(staging.toString)
+      val stats = cellStats(spark.read.option("basePath", staging.toString)
+        .parquet(staging.toString))
+      stats.keys.toSeq.sorted.foreach { cell =>
+        val staged = Paths.get(staging.toString, s"$pc=$cell")
+        val target = TableIO.partitionDir(base, cell)
+        TableIO.deleteRecursive(target)
+        Files.createDirectories(target.getParent)
+        Files.move(staged, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        TableIO.writeManifest(base, cell, manifestJson(cell, stats(cell)))
       }
+      TableIO.deleteRecursive(staging)
     } finally batch.unpersist()
   }
 
-  /** Remove ids; every committed cell is anti-joined (copy-on-write,
-    * unchanged cells rewritten too — see scale note above).
+  /** Remove ids. Cells whose manifest id range cannot contain ANY of
+    * the ids are SKIPPED untouched (the previous shape rewrote EVERY
+    * cell copy-on-write — at 10^4 cells a small delete was a full-index
+    * rewrite); legacy manifests without a range stay conservative and
+    * rewrite. Only possibly-containing cells are anti-joined and
+    * recommitted.
     */
   def deleteIds(ids: Seq[Any]): Unit = {
     if (ids.isEmpty) return
     TableIO.donePartitions(base).toSeq.sorted.foreach { cell =>
-      val existing = TableIO.readPartition(spark, base, cell)
-      val kept = existing.filter(!F.col(idCol).isInCollection(ids))
-      commitCell(kept, cell)
+      val skip = cellIdRange(cell).exists { case (mn, mx) =>
+        !ids.exists(v => idCmp(mn, v) <= 0 && idCmp(v, mx) <= 0)
+      }
+      if (!skip) {
+        val existing = TableIO.readPartition(spark, base, cell)
+        val kept = existing.filter(!F.col(idCol).isInCollection(ids))
+        commitCell(kept, cell)
+      }
     }
   }
 
   /** Distributed variant: remove every id in `ids` (a one-column frame
     * that may lazily read OTHER tables — it is fully consumed here,
-    * before any caller-side rewrite invalidates it). No driver collect.
+    * before any caller-side rewrite invalidates it). No driver collect
+    * of the ids; pruning uses only their min/max hull (one tiny agg),
+    * so a cell range disjoint from the hull is skipped untouched.
     */
   def deleteIdsDf(ids: DataFrame): Unit = {
-    val idsOnly = ids.toDF(idCol)
-    TableIO.donePartitions(base).toSeq.sorted.foreach { cell =>
-      val existing = TableIO.readPartition(spark, base, cell)
-      val kept = existing.join(idsOnly, Seq(idCol), "left_anti")
-      commitCell(kept, cell)
-    }
+    val idsOnly = ids.toDF(idCol).cache()
+    try {
+      val hull = idsOnly.agg(F.min(idCol), F.max(idCol)).head()
+      if (hull.isNullAt(0)) return
+      val (hmn, hmx) = (idLit(hull.get(0)), idLit(hull.get(1)))
+      TableIO.donePartitions(base).toSeq.sorted.foreach { cell =>
+        val skip = cellIdRange(cell).exists { case (mn, mx) =>
+          idCmp(mx, hmn) < 0 || idCmp(hmx, mn) < 0
+        }
+        if (!skip) {
+          val existing = TableIO.readPartition(spark, base, cell)
+          val kept = existing.join(idsOnly, Seq(idCol), "left_anti")
+          commitCell(kept, cell)
+        }
+      }
+    } finally idsOnly.unpersist()
   }
 
   private def commitCell(df: DataFrame, cell: Int): Unit = {
-    val n = df.count()
-    if (n == 0) {
-      TableIO.deleteRecursive(TableIO.partitionDir(base, cell))
-      Files.deleteIfExists(TableIO.manifestPath(base, cell))
-    } else {
-      TableIO.commitPartition(df, base, cell)
-      TableIO.writeManifest(base, cell, s"""{"part_id":$cell,"rows":$n}""")
-    }
+    val kept = df.cache()
+    try {
+      val st = kept.agg(F.count(F.lit(1)), F.min(idCol), F.max(idCol)).head()
+      if (st.getLong(0) == 0) {
+        TableIO.deleteRecursive(TableIO.partitionDir(base, cell))
+        Files.deleteIfExists(TableIO.manifestPath(base, cell))
+      } else {
+        TableIO.commitPartition(kept, base, cell)
+        TableIO.writeManifest(base, cell,
+          manifestJson(cell, (st.getLong(0), st.get(1), st.get(2))))
+      }
+    } finally kept.unpersist()
   }
+
+  /** Per-cell (rows, id_min, id_max) in ONE aggregate job. */
+  private def cellStats(df: DataFrame): Map[Int, (Long, Any, Any)] =
+    df.groupBy(TableIO.PART_COL)
+      .agg(F.count(F.lit(1)), F.min(idCol), F.max(idCol))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.get(2), r.get(3))))
+      .toMap
+
+  /** Manifest entry with the delete-pruning id range. Ids serialize as
+    * JSON strings; "num" ranges compare as exact decimals (never
+    * Double — a >2^53 long would round and could wrongly prune), "str"
+    * ranges as UTF-8 bytes unsigned (Spark's own string ordering —
+    * Java compareTo is UTF-16 and disagrees above the BMP).
+    */
+  private def manifestJson(cell: Int, s: (Long, Any, Any)): String = {
+    def esc(v: Any) = v.toString.replace("\\", "\\\\").replace("\"", "\\\"")
+    val kind = s._2 match { case _: Number => "num"; case _ => "str" }
+    s"""{"part_id":$cell,"rows":${s._1},"id_kind":"$kind",""" +
+      s""""id_min":"${esc(s._2)}","id_max":"${esc(s._3)}"}"""
+  }
+
+  private def idCmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.math.BigDecimal, _) => x.compareTo(idLit(b).asInstanceOf[java.math.BigDecimal])
+    case (_, y: java.math.BigDecimal) => idLit(a).asInstanceOf[java.math.BigDecimal].compareTo(y)
+    case (x: String, y) => utf8Cmp(x, y.toString)
+    case (x, y: String) => utf8Cmp(x.toString, y)
+    case (x, y) => new java.math.BigDecimal(x.toString)
+      .compareTo(new java.math.BigDecimal(y.toString))
+  }
+
+  private def idLit(v: Any): Any = v match {
+    case s: String => s
+    case n: java.math.BigDecimal => n
+    case other =>
+      scala.util.Try(new java.math.BigDecimal(other.toString)).getOrElse(other.toString)
+  }
+
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Parsed (id_min, id_max) from a cell's manifest; None when the
+    * manifest predates ranges (conservative: caller rewrites).
+    */
+  private def cellIdRange(cell: Int): Option[(Any, Any)] =
+    TableIO.readManifest(base, cell).flatMap { json =>
+      val re = """"id_kind":"(num|str)","id_min":"((?:[^"\\]|\\.)*)","id_max":"((?:[^"\\]|\\.)*)"""".r
+      re.findFirstMatchIn(json).map { m =>
+        def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+        if (m.group(1) == "num")
+          (new java.math.BigDecimal(un(m.group(2))), new java.math.BigDecimal(un(m.group(3))))
+        else (un(m.group(2)), un(m.group(3)))
+      }
+    }
 }
 
 object IvfIndex {
@@ -187,20 +299,19 @@ object IvfIndex {
     val assigned = idx.withCells(df)
     assigned.write.partitionBy(TableIO.PART_COL).mode("overwrite")
       .parquet(Paths.get(base, "_staging_build").toString)
-    // move cell dirs into place, manifest each (counts from one agg job)
-    val counts = spark.read.option("basePath", Paths.get(base, "_staging_build").toString)
-      .parquet(Paths.get(base, "_staging_build").toString)
-      .groupBy(TableIO.PART_COL).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    counts.keys.toSeq.sorted.foreach { cell =>
+    // move cell dirs into place, manifest each (rows + the delete-
+    // pruning id range, from one agg job)
+    val stats = idx.cellStats(
+      spark.read.option("basePath", Paths.get(base, "_staging_build").toString)
+        .parquet(Paths.get(base, "_staging_build").toString))
+    stats.keys.toSeq.sorted.foreach { cell =>
       val staged = Paths.get(base, "_staging_build", s"${TableIO.PART_COL}=$cell")
       val target = TableIO.partitionDir(base, cell)
       TableIO.deleteRecursive(target)
       Files.createDirectories(target.getParent)
       Files.move(staged, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      TableIO.writeManifest(base, cell,
-        s"""{"part_id":$cell,"rows":${counts(cell)}}""")
+      TableIO.writeManifest(base, cell, idx.manifestJson(cell, stats(cell)))
     }
     TableIO.deleteRecursive(Paths.get(base, "_staging_build"))
     writeMeta(base, idCol, embCol, nAssign, centroids)

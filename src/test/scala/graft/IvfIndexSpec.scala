@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.knn.{IvfIndex, Similarity}
@@ -135,5 +137,78 @@ class IvfIndexSpec extends SparkTestBase {
       .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
     val got = idx.query(q, k = 5, nprobe = 4).collect().map(_.getString(0)).toSeq
     assert(got == want)
+  }
+
+  test("deleteIds prunes by manifest id range: untouched cells' files survive byte-identical") {
+    val base = fresh("delprune")
+    // CONTIGUOUS id blocks per anchor direction (the interleaved
+    // default corpus gives every cell a near-full id range — nothing
+    // would ever prune): ids 0-39 anchor 0, 40-79 anchor 1, ...
+    val data = (0 until 160).map { i =>
+      val anchor = i / 40
+      val v = Array.tabulate(dim) { d =>
+        val b = if (d % 4 == anchor) 1.0f else 0.05f
+        b + 0.01f * ((graft.util.Hash.mix(i.toLong * dim + d) % 100) / 100.0f)
+      }
+      (i.toLong, v)
+    }.toDF("id", "emb")
+    val idx = IvfIndex.build(spark, data, "id", "emb", base, nCells = 4)
+    // pick victim ids from ONE cell; every other cell's range excludes them
+    val cells = TableIO.donePartitions(base).toSeq.sorted
+    def cellIds(c: Int) = TableIO.readPartition(spark, base, c)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val byCell = cells.map(c => c -> cellIds(c)).toMap
+    // ids contiguous within exactly one cell's [min,max] and outside all others
+    val victimCell = byCell.maxBy { case (_, ids) => ids.size }._1
+    val others = cells.filterNot(_ == victimCell)
+    val ranges = others.map(c => byCell(c).min -> byCell(c).max)
+    val candidates = byCell(victimCell).filter(v =>
+      ranges.forall { case (mn, mx) => v < mn || v > mx }).take(2).toSeq
+    assume(candidates.nonEmpty, "fixture produced no cell-exclusive ids")
+    def snapshot() = others.flatMap { c =>
+      val dir = TableIO.partitionDir(base, c)
+      java.nio.file.Files.list(dir).iterator().asScala.toSeq
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p))
+    }.toMap
+    val before = snapshot()
+    idx.deleteIds(candidates)
+    assert(snapshot() == before,
+      "a delete confined to one cell's id range rewrote other cells")
+    val survivors = TableIO.read(spark, base)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(survivors == (0L until 160L).toSet -- candidates)
+  }
+
+  test("add commits all receiving cells with a job count independent of cell count") {
+    val base = fresh("addjobs")
+    val idx = IvfIndex.build(spark, corpus(80), "id", "emb", base, nCells = 8)
+    val batch = (80 until 160).map(i => (i.toLong, vec(i.toLong))).toDF("id", "emb")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      idx.add(batch) // touches all 8 cells (anchored corpus spreads evenly)
+      // listener bus is async — wait for the count to go quiescent
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 4 && waited < 100) {
+        Thread.sleep(100); waited += 1
+        val now = jobs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val touched = TableIO.donePartitions(base).size
+    assert(touched == 8, s"expected all 8 cells committed, saw $touched")
+    // cache-fill + cell-id distinct + existing read + staging write +
+    // stats agg + parquet listing/schema jobs ≈ 9, CONSTANT in cell
+    // count — the old per-cell commit shape ran ≥ 2 jobs PER CELL
+    // (≥ 16 here); the bound sits between the two shapes
+    assert(jobs.get() <= 12, s"add ran ${jobs.get()} jobs — per-cell commit shape is back")
+    val total = TableIO.read(spark, base).count()
+    assert(total == 160)
   }
 }
