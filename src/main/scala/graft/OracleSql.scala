@@ -468,6 +468,93 @@ object OracleSql {
     sb.toString
   }
 
+  /** Full SQL replication of the BMP/WAV feature extraction
+    * ([[graft.multimodal.Multimodal.FakeCodec.decode]] on its REAL
+    * payload paths) over a fixed media set whose exact container bytes
+    * ship as VALUES int lists: raw 24-bpp bottom-up BGR pixels and
+    * PCM16 LE samples are pure integer indexing, the FNV-1a 64
+    * content hash is the wordHashCtes fold over bytes, and the
+    * feature floats replay the engine's exact Float chain (REAL/REAL
+    * stays FLOAT in DuckDB, verified bit-equal to the float32 chain).
+    * Header fields (dims, data offset, rate, channels, bits, data
+    * length) are READ FROM THE BYTES, not assumed. Audio sum-of-
+    * squares addends are integers < 2^53 total, so unordered sum()
+    * is exact — no order forcing needed (unlike the log-prob folds).
+    */
+  def multimodalRawSql(rows: Seq[(Long, String, Array[Byte])]): String = {
+    val vals = rows.map { case (id, kind, bytes) =>
+      s"($id, '$kind', [${bytes.map(b => (b & 0xff).toString).mkString(",")}])"
+    }.mkString(", ")
+    // hashBytes XORs the SIGNED byte (sign-extended to 64 bits): a
+    // byte v >= 0x80 contributes 2^64 - 256 + v, not v
+    val fnv = s"list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), " +
+      s"list_transform(b, x -> CASE WHEN x >= 128 THEN $P64 - 256 + CAST(x AS HUGEINT) " +
+      "ELSE CAST(x AS HUGEINT) END)), " +
+      s"(h, c) -> (xor(h, c) * 1099511628211) % $P64)"
+    "WITH src AS (SELECT c0 AS mid, c1 AS kind, c2 AS b " +
+      s"FROM (VALUES $vals) v(c0, c1, c2)), " +
+      s"hsh AS (SELECT mid, len(b) AS byte_len, ${toSigned(fnv)} AS content_hash FROM src), " +
+      // ---- BMP: header fields then pixel indexing (bottom-up BGR) ----
+      "bh AS (SELECT mid, b, b[19] + 256*b[20] + 65536*b[21] + 16777216*b[22] AS w, " +
+      "b[23] + 256*b[24] + 65536*b[25] + 16777216*b[26] AS h, " +
+      "b[11] + 256*b[12] + 65536*b[13] + 16777216*b[14] AS off, " +
+      "((b[19] + 256*b[20]) * 3 + 3) // 4 * 4 AS stride " +
+      "FROM src WHERE kind = 'image'), " +
+      "px AS (SELECT mid, w, h, unnest(range(0, w*h)) AS p, b, off, stride FROM bh), " +
+      "rgb AS (SELECT mid, w, h, " +
+      "b[off + (h - 1 - p // w) * stride + 3 * (p % w) + 3] AS r, " +
+      "b[off + (h - 1 - p // w) * stride + 3 * (p % w) + 2] AS g, " +
+      "b[off + (h - 1 - p // w) * stride + 3 * (p % w) + 1] AS bl FROM px), " +
+      "iagg AS (SELECT mid, w*h AS n, sum(r) AS sr, sum(g) AS sg, sum(bl) AS sb " +
+      "FROM rgb GROUP BY mid, w*h), " +
+      "ihist AS (SELECT mid, least(11, (r*299 + g*587 + bl*114) // 1000 * 12 // 256) AS bin, " +
+      "count(*) AS c FROM rgb GROUP BY 1, 2), " +
+      "ifeat AS (" +
+      "SELECT mid, 0 AS j, CAST(sr AS REAL)/CAST(n AS REAL)/CAST(255 AS REAL) AS v FROM iagg " +
+      "UNION ALL SELECT mid, 1, CAST(sg AS REAL)/CAST(n AS REAL)/CAST(255 AS REAL) FROM iagg " +
+      "UNION ALL SELECT mid, 2, CAST(sb AS REAL)/CAST(n AS REAL)/CAST(255 AS REAL) FROM iagg " +
+      "UNION ALL SELECT a.mid, 3 + k, " +
+      "CAST(coalesce(ih.c, 0) AS REAL)/CAST(a.n AS REAL) " +
+      "FROM iagg a CROSS JOIN (SELECT unnest(range(0, 12)) AS k) ks " +
+      "LEFT JOIN ihist ih ON ih.mid = a.mid AND ih.bin = k " +
+      "UNION ALL SELECT mid, 15, CAST(1 AS REAL) FROM iagg), " +
+      "imeta AS (SELECT mid, w AS width, h AS height, CAST(0 AS BIGINT) AS duration_ms FROM bh), " +
+      // ---- WAV: header fields then PCM16 LE sample indexing ----
+      "wh AS (SELECT mid, b, b[23] + 256*b[24] AS ch, " +
+      "b[25] + 256*b[26] + 65536*b[27] + 16777216*b[28] AS rate, " +
+      "b[35] + 256*b[36] AS bits, " +
+      "least(b[41] + 256*b[42] + 65536*b[43] + 16777216*b[44], len(b) - 44) AS dlen " +
+      "FROM src WHERE kind = 'audio'), " +
+      "wn AS (SELECT mid, b, ch, rate, bits, dlen, dlen // 2 AS n FROM wh), " +
+      "smi AS (SELECT mid, n, b, unnest(range(0, n)) AS i FROM wn), " +
+      "sm0 AS (SELECT mid, n, i, b[45 + 2*i] + 256 * b[46 + 2*i] AS uv FROM smi), " +
+      "sm AS (SELECT mid, n, i, CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS s FROM sm0), " +
+      "sml AS (SELECT mid, n, i, s, lag(s) OVER (PARTITION BY mid ORDER BY i) AS ps FROM sm), " +
+      "wagg AS (SELECT mid, max(n) AS n, sum(s*s) AS sq, max(abs(s)) AS peak, " +
+      "sum(CASE WHEN i > 0 AND ((s >= 0) <> (ps >= 0)) THEN 1 ELSE 0 END) AS zc " +
+      "FROM sml GROUP BY mid), " +
+      "whist AS (SELECT mid, least(10, abs(s) * 11 // 32768) AS bin, count(*) AS c " +
+      "FROM sm GROUP BY 1, 2), " +
+      "wfeat AS (" +
+      "SELECT mid, 0 AS j, CAST(sqrt(CAST(sq AS DOUBLE) / n) / 32768.0 AS REAL) AS v FROM wagg " +
+      "UNION ALL SELECT mid, 1, CAST(peak AS REAL)/CAST(32768 AS REAL) FROM wagg " +
+      "UNION ALL SELECT mid, 2, CASE WHEN n > 1 THEN CAST(zc AS REAL)/CAST(n - 1 AS REAL) ELSE CAST(0 AS REAL) END FROM wagg " +
+      "UNION ALL SELECT a.mid, 3 + k, CAST(coalesce(wth.c, 0) AS REAL)/CAST(a.n AS REAL) " +
+      "FROM wagg a CROSS JOIN (SELECT unnest(range(0, 11)) AS k) ks " +
+      "LEFT JOIN whist wth ON wth.mid = a.mid AND wth.bin = k " +
+      "UNION ALL SELECT mid, 14, CAST(0 AS REAL) FROM wagg " +
+      "UNION ALL SELECT mid, 15, CAST(1 AS REAL) FROM wagg), " +
+      "wmeta AS (SELECT mid, 0 AS width, 0 AS height, " +
+      "dlen * 1000 // (rate * ch * (bits // 8)) AS duration_ms FROM wn), " +
+      "meta AS (SELECT * FROM imeta UNION ALL SELECT * FROM wmeta), " +
+      "feat AS (SELECT * FROM ifeat UNION ALL SELECT * FROM wfeat) " +
+      "SELECT s.mid AS media_id, s.kind, h.byte_len, h.content_hash, " +
+      "m.width, m.height, CAST(m.duration_ms AS BIGINT) AS duration_ms, " +
+      "f.j AS feat_idx, f.v AS feat_val " +
+      "FROM src s JOIN hsh h ON h.mid = s.mid JOIN meta m ON m.mid = s.mid " +
+      "JOIN feat f ON f.mid = s.mid ORDER BY media_id, feat_idx"
+  }
+
   /** The product-config decision tail: lang gate + ppl gate after the
     * cheap chain, given joined raw columns (cheap, plang, pconf, pppl).
     */
