@@ -7,13 +7,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
   * (the JVM analog of `mapInPandas` — one decoder init per partition,
   * vectorized-ish inner loop, bounded batch memory).
   *
-  * Decode coverage (r4): PNG (zlib inflate + unfilter), BMP (raw
-  * 24-bpp) and WAV (PCM16) are decoded FOR REAL — JDK-only, no codec
+  * Decode coverage (r5): PNG (zlib inflate + unfilter), BMP (raw
+  * 24-bpp), JPEG (baseline Huffman + dequant + IDCT, [[JpegCodec]])
+  * and WAV (PCM16) are decoded FOR REAL — JDK-only, no codec
   * library — with content-derived features (channel means, luminance
-  * histogram; RMS/peak/ZCR, amplitude histogram). Formats whose
-  * payloads need an entropy decoder that doesn't ship offline (JPEG
-  * scan, GIF LZW, compressed video) keep real header dims but a
-  * deterministic content-hash stub feature, so the Spark-side
+  * histogram; RMS/peak/ZCR, amplitude histogram). The remaining
+  * stub formats (GIF LZW, compressed video) keep real header dims
+  * but a deterministic content-hash feature, so the Spark-side
   * contract — schema, batch shape, partition-level resource
   * lifecycle, null handling — is uniform and a real codec drops in
   * behind the same function signature.
@@ -117,7 +117,7 @@ object Multimodal {
       * pixel/sample decode where the container allows it offline —
       * PNG (zlib inflate + unfilter), BMP (raw 24-bpp), WAV (PCM16) —
       * with content-derived features. Formats without an offline
-      * payload decoder (compressed video, JPEG entropy scan, GIF LZW)
+      * payload decoder (compressed video, GIF LZW)
       * keep the deterministic content-hash stub feature. Byte-stable,
       * null-safe, never throws.
       */
@@ -129,7 +129,8 @@ object Multimodal {
       }
       // full-content paths first (dims AND pixels/samples)
       HeaderCodec.decodePngPixels(bytes)
-        .orElse(HeaderCodec.decodeBmpPixels(bytes)) match {
+        .orElse(HeaderCodec.decodeBmpPixels(bytes))
+        .orElse(JpegCodec.decodePixels(bytes)) match {
         case Some(img) =>
           return MediaFeatures(row.media_id, row.kind, bytes.length, h,
             img.width, img.height, 0L, imageFeature(img))
@@ -261,7 +262,7 @@ object Multimodal {
             case 0 => (HeaderCodec.bmpBytes(w, h, seed + i), "image/bmp")
             case 1 => (HeaderCodec.pngBytes(w, h, seed + i), "image/png")
             case 2 => (HeaderCodec.gifBytes(w, h), "image/gif")
-            case _ => (HeaderCodec.jpegBytes(w, h, seed + i), "image/jpeg")
+            case _ => (JpegCodec.jpegScanBytes(w, h, seed + i), "image/jpeg")
           }
         case "audio" =>
           (HeaderCodec.wavBytes(8000, 1 + r.nextInt(500), 1 + r.nextInt(2), seed + i),

@@ -251,4 +251,50 @@ class HeaderCodecSpec extends AnyFunSuite {
     assert(HeaderCodec.parseBmp(png).isEmpty && HeaderCodec.parseJpeg(png).isEmpty &&
       HeaderCodec.parseGif(png).isEmpty)
   }
+
+  test("JPEG baseline: uniform-color image round-trips EXACTLY (DC-only blocks)") {
+    import graft.multimodal.JpegCodec
+    for ((r, g, b) <- Seq((0, 0, 0), (255, 255, 255), (128, 64, 200), (17, 230, 99))) {
+      val w = 20
+      val h = 12
+      val rgb = Array.tabulate(w * h * 3) { i =>
+        (i % 3 match { case 0 => r; case 1 => g; case _ => b }).toByte
+      }
+      val enc = JpegCodec.encodeBaseline(w, h, rgb)
+      val dec = JpegCodec.decodePixels(enc).get
+      assert(dec.width == w && dec.height == h)
+      assert(dec.rgb.toSeq == rgb.toSeq,
+        s"uniform ($r,$g,$b) did not survive: got ${dec.rgb.take(6).toSeq}")
+    }
+  }
+
+  test("JPEG baseline: noise pixels round-trip within flat-quant rounding tolerance") {
+    import graft.multimodal.JpegCodec
+    for ((w, h) <- Seq((8, 8), (17, 9), (33, 21))) {
+      val rgb = HeaderCodec.pngNoisePixels(w, h, 42L + w)
+      val enc = JpegCodec.encodeBaseline(w, h, rgb)
+      val dec = JpegCodec.decodePixels(enc).get
+      assert(dec.width == w && dec.height == h)
+      val maxDiff = rgb.indices.map(i =>
+        math.abs((rgb(i) & 0xff) - (dec.rgb(i) & 0xff))).max
+      // flat quant: the only loss is coefficient rounding (±0.5 × 64
+      // basis functions) and the YCbCr float transform
+      assert(maxDiff <= 8, s"${w}x$h max pixel diff $maxDiff")
+      // dims via the plain header parser agree (marker interop)
+      assert(HeaderCodec.parseJpeg(enc).contains(HeaderCodec.ImageDims(w, h)))
+    }
+  }
+
+  test("JPEG baseline decoder declines out-of-scope streams, never throws") {
+    import graft.multimodal.JpegCodec
+    // legacy scanless synthetic JPEG (2x2 subsampling, no SOS)
+    assert(JpegCodec.decodePixels(HeaderCodec.jpegBytes(16, 16, 7L)).isEmpty)
+    // truncated real stream
+    val enc = JpegCodec.encodeBaseline(16, 16, HeaderCodec.pngNoisePixels(16, 16, 7L))
+    (1 until enc.length by 37).foreach { cut =>
+      JpegCodec.decodePixels(enc.take(cut)) // must not throw
+    }
+    assert(JpegCodec.decodePixels(Array[Byte](0x12, 0x34)).isEmpty)
+    assert(JpegCodec.decodePixels(null).isEmpty)
+  }
 }
