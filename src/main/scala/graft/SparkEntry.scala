@@ -47,6 +47,25 @@ object SparkEntry {
   // computing in double precision; 1e-12-scale engine noise only)
   private def r6(c: org.apache.spark.sql.Column) = F.round(c, 6)
 
+  /** Doc-derived turns with a PLANTED 20k-turn hot conversation (the
+    * first doc exploded), SQL-expressible keep/scrub — shared by the
+    * two skew-variant queries and mirrored in their oracle SQL.
+    */
+  private def skewTurns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val docs = tbl(s, dir, "documents")
+    val base = docs.select(F.col("source").as("conv_id"),
+      F.row_number().over(w).as("turn_idx"), F.col("text"))
+    val hot = docs.orderBy("doc_id").limit(1)
+      .select(F.lit("hot").as("conv_id"),
+        F.explode(F.sequence(F.lit(1), F.lit(20000))).as("turn_idx"),
+        F.col("text"))
+    base.unionByName(hot)
+      .select(F.col("conv_id"), F.col("turn_idx"),
+        Scrubber.scrubColReference(F.col("text")).as("scrubbed_text"),
+        (F.size(F.split(F.col("text"), " ", -1)) >= 50).as("keep"))
+  }
+
   /** multimodal_features_raw input media — ONE definition consumed by
     * both the query and the oracle SQL (which embeds these exact bytes
     * as VALUES) so they cannot drift. Dims/durations stay small so the
@@ -512,10 +531,15 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
     "conv_reassemble_twophase" -> ((s, dir) => {
-      // R3 at scale: skewed 20k-turn conversation, bounded reducer state
-      val skewed = Transcripts.dataset(s, 50L, skew = true, skewTurns = 20000).toDF()
-      Curate.reassembleTwoPhase(Curate.curateDf(s, skewed))
-        .select("conv_id", "n_turns") // reassembled text too large to dump
+      // R3 at scale: bounded reducer state via per-block partials under
+      // the planted 20k-turn hot conversation — DuckDB-oracled since
+      // r5 (was synth rows-only): block-wise concat must equal the
+      // direct ordered concat, compared via md5 (the raw reassembled
+      // hot row is ~10 MB). The synth-corpus twin stays in
+      // GoldenPipelineSpec.
+      Curate.reassembleTwoPhase(skewTurns(s, dir))
+        .select(F.col("conv_id"), F.col("n_turns"),
+          F.md5(F.col("reassembled")).as("reassembled_md5"))
         .orderBy("conv_id")
     }),
     "conv_stats_salted" -> ((s, dir) => {
@@ -534,9 +558,10 @@ object SparkEntry {
     }),
     "conv_stats_salted_skew" -> ((s, dir) => {
       // same operator under a planted 20k-turn hot conversation
-      // (reducer-state bound demo; rows-only)
-      val skewed = Transcripts.dataset(s, 50L, skew = true, skewTurns = 20000).toDF()
-      Curate.convStatsSalted(Curate.curateDf(s, skewed))
+      // (reducer-state bound demo) — DuckDB-oracled since r5 (was
+      // synth rows-only): salting must not change values vs the direct
+      // unsalted SQL aggregate over the identical doc-derived turns
+      Curate.convStatsSalted(skewTurns(s, dir))
         .withColumn("avg_chars", r6(F.col("avg_chars")))
         .orderBy("conv_id")
     }),
@@ -966,6 +991,14 @@ object SparkEntry {
       sb.toString
     }
     val scrubStages = scrubStagesFrom("d")
+    // skewTurns mirrored verbatim (shared by both skew-variant oracles)
+    val skewCte =
+      "sk0 AS (SELECT source AS conv_id, " +
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS turn_idx, text FROM documents " +
+        "UNION ALL SELECT 'hot', unnest(range(1, 20001)), text " +
+        "FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 1)), " +
+        s"skt AS (SELECT conv_id, turn_idx, ${Scrubber.scrubSqlReference("text")} AS scrubbed, " +
+        "len(string_split(text, ' ')) >= 50 AS keep FROM sk0)"
     // the base/br/sc aggregation tail shared by both metrics oracles
     def metricsTail(lastStage: String): String = {
       val hitBranches = Scrubber.patternSpecs.map { case (name, _) =>
@@ -1245,6 +1278,20 @@ object SparkEntry {
           "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
           "round(sum(length(scrubbed)) * 1.0 / count(*), 6) AS avg_chars " +
           "FROM t GROUP BY conv_id ORDER BY conv_id"),
+      // skewTurns mirrored: doc-derived turns + the first doc exploded
+      // into a 20k-turn hot conversation; the salted/blocked two-phase
+      // aggregates must equal these DIRECT single-phase aggregates
+      "conv_stats_salted_skew" ->
+        (s"WITH $skewCte " +
+          "SELECT conv_id, count(*) AS n_turns, " +
+          "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "round(sum(length(scrubbed)) * 1.0 / count(*), 6) AS avg_chars " +
+          "FROM skt GROUP BY conv_id ORDER BY conv_id"),
+      "conv_reassemble_twophase" ->
+        (s"WITH $skewCte " +
+          "SELECT conv_id, count(*) AS n_turns, " +
+          "md5(string_agg(scrubbed, ' ' ORDER BY turn_idx)) AS reassembled_md5 " +
+          "FROM skt WHERE keep GROUP BY conv_id ORDER BY conv_id"),
       "dedup_minhash" ->
         ("WITH toks AS (SELECT doc_id AS id, " +
           "list_filter(regexp_split_to_array(lower(text), '[^\\pL\\pN_]+'), x -> x <> '') AS w FROM documents), " +
