@@ -555,6 +555,104 @@ object OracleSql {
       "JOIN feat f ON f.mid = s.mid ORDER BY media_id, feat_idx"
   }
 
+  /** Hyperplane signature CTEs over `embeddings` (dim 64): the seeded
+    * plane components ship as 17-digit double literals (exact dyadic
+    * values, parse back bit-identical), and each bit's dot product is
+    * an ORDER-FORCED left-fold in dimension order — ulp-for-ulp the
+    * engine's accumulation (Similarity.hyperplaneSig), so the SIGN of
+    * every bit (and therefore bucket membership) is reproduced
+    * exactly, never approximated with a tolerance.
+    */
+  private def embPlanesCtes(nBits: Int, dim: Int = 64): String = {
+    val vals = (0 until nBits).flatMap(b => (0 until dim).map(d =>
+      s"($b,$d,'${graft.knn.Similarity.planeComponent(b, d)}')")).mkString(",")
+    s"pl AS (SELECT c0 AS pb, c1 AS pd, CAST(c2 AS DOUBLE) AS pc FROM (VALUES $vals) v(c0, c1, c2)), " +
+      "ev AS (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
+      "edt AS (SELECT id, pb, list_reduce(list_prepend(0.0, " +
+      "list(CAST(v[pd + 1] AS DOUBLE) * pc ORDER BY pd)), (a, x) -> a + x) AS dot " +
+      "FROM ev CROSS JOIN pl GROUP BY id, pb), " +
+      "sg AS (SELECT id, sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << pb ELSE CAST(0 AS BIGINT) END) AS sig " +
+      "FROM edt GROUP BY id)"
+  }
+
+  /** Exact cosine over a pair CTE exposing (keys..., va, vb): the
+    * dot/na/nb accumulators are ORDER-FORCED folds in dimension order
+    * (Similarity.cosine adds in index order), so sim is bit-exact.
+    */
+  private def cosineCtes(src: String, keys: Seq[String], p: String, dim: Int = 64): (String, String) = {
+    val k = keys.mkString(", ")
+    val block =
+      s"${p}tm AS (SELECT $k, unnest(range(1, ${dim + 1})) AS d, va, vb FROM $src), " +
+        s"${p}tt AS (SELECT $k, d, CAST(va[d] AS DOUBLE) AS x, CAST(vb[d] AS DOUBLE) AS y FROM ${p}tm), " +
+        s"${p}cs AS (SELECT $k, " +
+        "list_reduce(list_prepend(0.0, list(x * y ORDER BY d)), (a, t) -> a + t) AS dot, " +
+        "list_reduce(list_prepend(0.0, list(x * x ORDER BY d)), (a, t) -> a + t) AS na, " +
+        "list_reduce(list_prepend(0.0, list(y * y ORDER BY d)), (a, t) -> a + t) AS nb " +
+        s"FROM ${p}tt GROUP BY $k), " +
+        s"${p}sim AS (SELECT $k, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END AS sim FROM ${p}cs)"
+    (block, s"${p}sim")
+  }
+
+  /** Full SQL replication of [[graft.dedup.Dedup.embeddingNearDups]]
+    * over `embeddings`: 8-bit hyperplane signatures, 4×2-bit band
+    * equi-join, exact cosine verify ≥ threshold.
+    */
+  def embeddingDedupSql(threshold: Double = 0.25, nBits: Int = 8, nBands: Int = 4): String = {
+    val bits = nBits / nBands
+    val mask = (1L << bits) - 1
+    val (cosBlock, simCte) = cosineCtes("pv", Seq("id_a", "id_b"), "D")
+    s"WITH ${embPlanesCtes(nBits)}, " +
+      s"bd AS (SELECT id, band, (sig >> (band * $bits)) & $mask AS bh FROM sg " +
+      s"CROSS JOIN (SELECT unnest(range(0, $nBands)) AS band) bs), " +
+      "prs AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM bd l " +
+      "JOIN bd r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id), " +
+      "pv AS (SELECT p.id_a, p.id_b, a.v AS va, b.v AS vb FROM prs p " +
+      "JOIN ev a ON a.id = p.id_a JOIN ev b ON b.id = p.id_b), " +
+      s"$cosBlock " +
+      s"SELECT id_a, id_b, round(sim, 6) AS sim FROM $simCte WHERE sim >= $threshold ORDER BY id_a, id_b"
+  }
+
+  /** Full SQL replication of [[graft.knn.Similarity.topKLsh]] for the
+    * vec_id = 0 query: candidates share ≥1 of the 4×4-bit bands with
+    * the query signature; exact cosine; top-k by (sim DESC, id).
+    */
+  def annLshSql(k: Int = 5, nBits: Int = 16, nBands: Int = 4): String = {
+    val bits = nBits / nBands
+    val mask = (1L << bits) - 1
+    val bandCond = (0 until nBands).map(b =>
+      s"((s.sig >> ${b * bits}) & $mask) = ((q.qsig >> ${b * bits}) & $mask)").mkString(" OR ")
+    val (cosBlock, simCte) = cosineCtes("pv", Seq("id"), "A")
+    s"WITH ${embPlanesCtes(nBits)}, " +
+      "q AS (SELECT sig AS qsig FROM sg WHERE id = 0), " +
+      "qv AS (SELECT v AS qvec FROM ev WHERE id = 0), " +
+      s"cand AS (SELECT s.id FROM sg s, q WHERE $bandCond), " +
+      "pv AS (SELECT c.id, e.v AS va, qq.qvec AS vb FROM cand c " +
+      "JOIN ev e ON e.id = c.id CROSS JOIN qv qq), " +
+      s"$cosBlock " +
+      "SELECT id AS vec_id, round(sim, 6) AS sim FROM " +
+      s"(SELECT id, sim FROM $simCte ORDER BY sim DESC, id LIMIT $k)"
+  }
+
+  /** Full SQL replication of [[graft.knn.Similarity.topKBatchLsh]] for
+    * the vec_id &lt; 4 query set: both sides banded, candidate = any
+    * shared band, exact cosine, per-query rank ≤ k.
+    */
+  def annBatchLshSql(k: Int = 3, nBits: Int = 16, nBands: Int = 4): String = {
+    val bits = nBits / nBands
+    val mask = (1L << bits) - 1
+    val (cosBlock, simCte) = cosineCtes("pv", Seq("qid", "cid"), "B")
+    s"WITH ${embPlanesCtes(nBits)}, " +
+      s"bd AS (SELECT id, band, (sig >> (band * $bits)) & $mask AS bh FROM sg " +
+      s"CROSS JOIN (SELECT unnest(range(0, $nBands)) AS band) bs), " +
+      "cnd AS (SELECT DISTINCT q.id AS qid, c.id AS cid FROM bd c " +
+      "JOIN bd q ON q.band = c.band AND q.bh = c.bh WHERE q.id < 4), " +
+      "pv AS (SELECT cnd.qid, cnd.cid, ec.v AS va, eq.v AS vb FROM cnd " +
+      "JOIN ev ec ON ec.id = cnd.cid JOIN ev eq ON eq.id = cnd.qid), " +
+      s"$cosBlock, " +
+      s"rk AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM $simCte) " +
+      s"SELECT qid, cid, round(sim, 6) AS sim, rank FROM rk WHERE rank <= $k ORDER BY qid, rank"
+  }
+
   /** The product-config decision tail: lang gate + ppl gate after the
     * cheap chain, given joined raw columns (cheap, plang, pconf, pppl).
     */

@@ -1408,6 +1408,11 @@ object SparkEntry {
       // BMP/WAV payload decode replayed in SQL over the exact bytes
       ("multimodal_features_raw" -> OracleSql.multimodalRawSql(
         rawMediaRows.map(r => (r.media_id, r.kind, r.media)))) +
+      // hyperplane-LSH family: signatures/buckets/cosines replayed as
+      // order-forced double folds — bucket membership bit-exact
+      ("dedup_embedding" -> OracleSql.embeddingDedupSql()) +
+      ("ann_lsh" -> OracleSql.annLshSql()) +
+      ("ann_batch_lsh" -> OracleSql.annBatchLshSql()) +
       // star contraction must equal the same transitive closure
       ("dedup_components_star" -> m("dedup_components")) +
       // kept-turn reassembly over the SAME composed real-model

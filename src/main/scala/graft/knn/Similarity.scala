@@ -146,7 +146,7 @@ object Similarity extends Serializable {
   /** Deterministic random hyperplane for LSH bit b (seeded hash — no
     * RNG state, identical on every executor).
     */
-  @inline private def planeComponent(bit: Int, dim: Int): Double = {
+  @inline private[graft] def planeComponent(bit: Int, dim: Int): Double = {
     val x = graft.util.Hash.mix(bit.toLong << 32 | dim.toLong)
     // map to [-1, 1)
     (x >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
