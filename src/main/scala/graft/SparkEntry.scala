@@ -421,6 +421,15 @@ object SparkEntry {
           F.col("scrubbed_text"))
         .orderBy("conv_id", "turn_idx")
     }),
+    "curate_metrics_grammar" -> ((s, dir) =>
+      // A2 metrics over the grammar-config run — dropped_by_rule now
+      // counts 'grammar' too, value-compared via the same staged
+      // per-pattern scrub counts (the full-default-config synth-corpus
+      // metrics stay rows-only as curate_metrics)
+      Curate.metrics(Curate.curateDf(s, grammarTurns(s, dir),
+          QualityRules.cheapConfig.copy(grammarEnabled = true)))
+        .withColumn("dropped_by_rule", F.to_json(F.col("dropped_by_rule")))
+        .withColumn("scrub_hit_counts", F.to_json(F.col("scrub_hit_counts")))),
     "curate_metrics_cheap" -> ((s, dir) =>
       // A2 metrics over the same cheap-config run — dropped_by_rule and
       // scrub_hit_counts maps (canonical sorted-key JSON) vs SQL-built
@@ -991,6 +1000,39 @@ object SparkEntry {
       sb.toString
     }
     val scrubStages = scrubStagesFrom("d")
+    // grammarTurns mirrored verbatim (shared by curate_grammar and its
+    // metrics twin): the planted-fragment hit count is recomputed with
+    // regexp_extract_all ("he are" fires BASIC_SUBJ_VERB and BASIC_001
+    // on the SAME span — the engine's overlap-dedup collapses them to
+    // one, counted once here); the gate ordering replays as a CASE
+    // chain (grammarDec)
+    val grammarDec = "CASE WHEN cheap <> 'none' THEN cheap " +
+      "WHEN n_rule_hits >= 3 THEN 'grammar' ELSE 'none' END"
+    val grammarCte =
+      s"g0 AS (SELECT source, doc_id, CASE " +
+        s"WHEN doc_id % 5 = 0 THEN '$plantedKeep$plantedErrors' " +
+        s"WHEN doc_id % 5 = 1 THEN '$plantedKeep$plantedErrors2' " +
+        "WHEN doc_id % 5 = 2 THEN 'he are short.' " +
+        "WHEN doc_id % 5 = 3 THEN array_to_string(list_transform(range(1, 61), i -> 'spam'), ' ') " +
+        s"|| '$plantedErrors' ELSE '$plantedKeep' END AS text FROM documents), " +
+        "gt AS (SELECT source AS conv_id, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS turn_idx, text FROM g0), " +
+        "gm AS (SELECT conv_id, turn_idx, text, " +
+        "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS wc, " +
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS lw FROM gt), " +
+        "gr AS (SELECT conv_id, turn_idx, text, wc, " +
+        "CASE WHEN len(lw) = 0 THEN 1.0 ELSE len(list_distinct(lw)) * 1.0 / len(lw) END AS dr, " +
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) * 1.0 / length(text) END AS sr FROM gm), " +
+        "gch AS (SELECT conv_id, turn_idx, text, " +
+        "CASE WHEN wc = 0 THEN 'empty' WHEN wc < 50 THEN 'too_short' " +
+        "WHEN wc > 2000 OR length(text) > 8000 THEN 'too_long' " +
+        "WHEN wc >= 20 AND dr < 0.3 THEN 'repetition' " +
+        "WHEN sr > 0.3 THEN 'symbol_ratio' " +
+        s"WHEN regexp_matches(text, '${QualityRules.boilerplateRegexRe2}') THEN 'boilerplate' " +
+        "ELSE 'none' END AS cheap FROM gr), " +
+        "gh AS (SELECT conv_id, turn_idx, text, cheap, CASE WHEN cheap <> 'none' THEN 0 ELSE " +
+        "len(regexp_extract_all(text, '(?i)\\bhe\\s+are\\b')) + " +
+        "len(regexp_extract_all(text, '(?i)\\b(they|we|you)\\s+is\\b')) + " +
+        "len(regexp_extract_all(text, '(?i)\\bfocus\\s+on\\b')) END AS n_rule_hits FROM gch)"
     // skewTurns mirrored verbatim (shared by both skew-variant oracles)
     val skewCte =
       "sk0 AS (SELECT source AS conv_id, " +
@@ -1147,42 +1189,17 @@ object SparkEntry {
           s"${Scrubber.scrubSqlFull("text")} AS scrubbed_text " +
           "FROM d ORDER BY conv_id, turn_idx"),
       "curate_grammar" -> {
-        // grammarTurns mirrored verbatim; the planted-fragment hit
-        // count is recomputed with regexp_extract_all ("he are" fires
-        // BASIC_SUBJ_VERB and BASIC_001 on the SAME span — the
-        // engine's overlap-dedup collapses them to one, counted once
-        // here), then the gate ordering replays as a CASE chain
-        val dec = "CASE WHEN cheap <> 'none' THEN cheap " +
-          "WHEN n_rule_hits >= 3 THEN 'grammar' ELSE 'none' END"
-        s"WITH g0 AS (SELECT source, doc_id, CASE " +
-          s"WHEN doc_id % 5 = 0 THEN '$plantedKeep$plantedErrors' " +
-          s"WHEN doc_id % 5 = 1 THEN '$plantedKeep$plantedErrors2' " +
-          "WHEN doc_id % 5 = 2 THEN 'he are short.' " +
-          "WHEN doc_id % 5 = 3 THEN array_to_string(list_transform(range(1, 61), i -> 'spam'), ' ') " +
-          s"|| '$plantedErrors' ELSE '$plantedKeep' END AS text FROM documents), " +
-          "gt AS (SELECT source AS conv_id, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS turn_idx, text FROM g0), " +
-          "gm AS (SELECT conv_id, turn_idx, text, " +
-          "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS wc, " +
-          "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS lw FROM gt), " +
-          "gr AS (SELECT conv_id, turn_idx, text, wc, " +
-          "CASE WHEN len(lw) = 0 THEN 1.0 ELSE len(list_distinct(lw)) * 1.0 / len(lw) END AS dr, " +
-          "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) * 1.0 / length(text) END AS sr FROM gm), " +
-          "gch AS (SELECT conv_id, turn_idx, text, " +
-          "CASE WHEN wc = 0 THEN 'empty' WHEN wc < 50 THEN 'too_short' " +
-          "WHEN wc > 2000 OR length(text) > 8000 THEN 'too_long' " +
-          "WHEN wc >= 20 AND dr < 0.3 THEN 'repetition' " +
-          "WHEN sr > 0.3 THEN 'symbol_ratio' " +
-          s"WHEN regexp_matches(text, '${QualityRules.boilerplateRegexRe2}') THEN 'boilerplate' " +
-          "ELSE 'none' END AS cheap FROM gr), " +
-          "gh AS (SELECT conv_id, turn_idx, text, cheap, CASE WHEN cheap <> 'none' THEN 0 ELSE " +
-          "len(regexp_extract_all(text, '(?i)\\bhe\\s+are\\b')) + " +
-          "len(regexp_extract_all(text, '(?i)\\b(they|we|you)\\s+is\\b')) + " +
-          "len(regexp_extract_all(text, '(?i)\\bfocus\\s+on\\b')) END AS n_rule_hits FROM gch) " +
+        s"WITH $grammarCte " +
           "SELECT conv_id, turn_idx, CAST(n_rule_hits AS BIGINT) AS n_rule_hits, " +
-          s"$dec = 'none' AS keep, $dec AS drop_reason, " +
+          s"$grammarDec = 'none' AS keep, $grammarDec AS drop_reason, " +
           s"${Scrubber.scrubSqlFull("text")} AS scrubbed_text " +
           "FROM gh ORDER BY conv_id, turn_idx"
       },
+      "curate_metrics_grammar" ->
+        (s"WITH $grammarCte, " +
+          s"gd AS (SELECT $grammarDec AS drop_reason, text FROM gh), " +
+          s"${scrubStagesFrom("gd")}, " +
+          s"${metricsTail(s"s${Scrubber.patternSpecs.length}")}"),
       "curate_metrics_cheap" ->
         s"WITH $cheapCte, $scrubStages, ${metricsTail(s"s${Scrubber.patternSpecs.length}")}",
       "curate_metrics_product" -> {
