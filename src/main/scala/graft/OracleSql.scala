@@ -653,6 +653,56 @@ object OracleSql {
       s"SELECT qid, cid, round(sim, 6) AS sim, rank FROM rk WHERE rank <= $k ORDER BY qid, rank"
   }
 
+  /** Full SQL replication of [[graft.chunk.Chunker.chunkText]] over
+    * the sentencified documents corpus (the chunk_documents query):
+    * the sequential greedy-packing fold runs as a list_reduce whose
+    * VARCHAR accumulator encodes (chunks ++ chr(1)) chr(2) current —
+    * DuckDB 1.0 folds require accumulator type == element type, so
+    * the state machine is string-encoded. Sentence split replays the
+    * reference's quirky re-add-punctuation pass (first containing
+    * original part, Python for/else), and the overlap tail advances
+    * past the FIRST `[.!?]\s+` break (non-greedy `^.*?` prefix) or
+    * else past the first whitespace-split word. Corpus precondition
+    * (asserted true for the driver tables): space-only whitespace and
+    * ASCII text, so SQL trim == Python str.strip and length() ==
+    * code-point pyLen. Reference: text_chunker.py:60-107.
+    */
+  def chunkSql(chunkSize: Int = 200, overlap: Int = 20): String = {
+    val cur = "substr(s, strpos(s, chr(2)) + 1)"
+    val head = "substr(s, 1, strpos(s, chr(2)) - 1)"
+    val tailN = s"substr($cur, length($cur) - ${overlap - 1})"
+    val tail =
+      s"CASE WHEN length($cur) <= $overlap THEN $cur " +
+        s"WHEN regexp_matches($tailN, '[.!?]\\s+') THEN regexp_replace($tailN, '^.*?[.!?]\\s+', '') " +
+        s"WHEN len(list_filter(regexp_split_to_array($tailN, '\\s+'), w -> w <> '')) > 1 " +
+        s"THEN regexp_replace($tailN, '^\\s*\\S+\\s+', '') " +
+        s"ELSE $tailN END"
+    val newHead = s"CASE WHEN $head = '' THEN trim($cur) ELSE $head || chr(1) || trim($cur) END"
+    val newCur = s"CASE WHEN ($tail) = '' THEN x ELSE ($tail) || ' ' || x END"
+    val lambda =
+      s"CASE WHEN length($cur) + length(x) > $chunkSize AND $cur <> '' " +
+        s"THEN $newHead || chr(2) || $newCur " +
+        s"ELSE $head || chr(2) || (CASE WHEN $cur = '' THEN x ELSE $cur || ' ' || x END) END"
+    "WITH ck0 AS (SELECT doc_id, " +
+      "regexp_replace(text, '((\\S+\\s+){9}\\S+)\\s+', '\\1. ', 'g') AS text FROM documents), " +
+      "cksp AS (SELECT doc_id, text, " +
+      "list_filter(list_transform(regexp_split_to_array(text, '[.!?]+(\\s+|$)'), p -> trim(p)), p -> p <> '') AS pieces, " +
+      "regexp_extract_all(text, '[^.!?]*[.!?]+') AS parts FROM ck0), " +
+      "cks0 AS (SELECT doc_id, text, parts, unnest(range(1, len(pieces) + 1)) AS i, unnest(pieces) AS piece FROM cksp), " +
+      "cksen AS (SELECT doc_id, text, i, CASE WHEN i <= len(parts) " +
+      "THEN coalesce(trim(list_filter(parts, p -> strpos(p, piece) > 0)[1]), piece) " +
+      "ELSE piece END AS sentence FROM cks0), " +
+      "ckagg AS (SELECT doc_id, max(text) AS text, list(sentence ORDER BY i) AS sentences FROM cksen GROUP BY doc_id), " +
+      s"ckfold AS (SELECT doc_id, text, list_reduce(list_prepend(chr(2), sentences), (s, x) -> $lambda) AS st FROM ckagg), " +
+      "ckch AS (SELECT doc_id, " +
+      s"CASE WHEN length(text) <= $chunkSize THEN [text] " +
+      "ELSE list_filter(list_append(" +
+      "list_filter(string_split(substr(st, 1, strpos(st, chr(2)) - 1), chr(1)), c -> c <> ''), " +
+      "trim(substr(st, strpos(st, chr(2)) + 1))), c -> c <> '') END AS chunks FROM ckfold) " +
+      "SELECT doc_id, unnest(range(1, len(chunks) + 1)) - 1 AS idx, unnest(chunks) AS chunk " +
+      "FROM ckch ORDER BY doc_id, idx"
+  }
+
   /** The product-config decision tail: lang gate + ppl gate after the
     * cheap chain, given joined raw columns (cheap, plang, pconf, pppl).
     */

@@ -854,7 +854,9 @@ object SparkEntry {
       // C2/C4: overlapping chunker + posexplode. The documents corpus
       // is punctuation-free (one giant "sentence" → one chunk), so a
       // period is planted every 10 words to exercise real greedy
-      // packing + overlap carry
+      // packing + overlap carry. DuckDB-oracled since r5: the whole
+      // sentence-split + greedy fold + overlap-tail state machine
+      // replays as a string-encoded list_reduce (OracleSql.chunkSql)
       val u = F.udf((t: String) => Chunker.chunkText(t, 200, 20))
       val sentencified =
         F.regexp_replace(F.col("text"), "((?:\\S+\\s+){9}\\S+)\\s+", "$1. ")
@@ -1430,6 +1432,8 @@ object SparkEntry {
       ("dedup_embedding" -> OracleSql.embeddingDedupSql()) +
       ("ann_lsh" -> OracleSql.annLshSql()) +
       ("ann_batch_lsh" -> OracleSql.annBatchLshSql()) +
+      // the C2 greedy-packing chunker as a string-encoded SQL fold
+      ("chunk_documents" -> OracleSql.chunkSql()) +
       // star contraction must equal the same transitive closure
       ("dedup_components_star" -> m("dedup_components")) +
       // kept-turn reassembly over the SAME composed real-model
