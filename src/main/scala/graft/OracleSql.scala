@@ -481,16 +481,22 @@ object OracleSql {
     * squares addends are integers < 2^53 total, so unordered sum()
     * is exact — no order forcing needed (unlike the log-prob folds).
     */
+  /** FNV-1a 64 over a byte-list expr, replicating
+    * Multimodal.FakeCodec.hashBytes: the engine XORs the SIGNED byte
+    * (sign-extended to 64 bits), so a byte v >= 0x80 contributes
+    * 2^64 - 256 + v, not v. Result is unsigned HUGEINT in [0, 2^64).
+    */
+  private def fnvBytes(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), " +
+      s"list_transform($listExpr, x -> CASE WHEN x >= 128 THEN $P64 - 256 + CAST(x AS HUGEINT) " +
+      "ELSE CAST(x AS HUGEINT) END)), " +
+      s"(h, c) -> (xor(h, c) * 1099511628211) % $P64)"
+
   def multimodalRawSql(rows: Seq[(Long, String, Array[Byte])]): String = {
     val vals = rows.map { case (id, kind, bytes) =>
       s"($id, '$kind', [${bytes.map(b => (b & 0xff).toString).mkString(",")}])"
     }.mkString(", ")
-    // hashBytes XORs the SIGNED byte (sign-extended to 64 bits): a
-    // byte v >= 0x80 contributes 2^64 - 256 + v, not v
-    val fnv = s"list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), " +
-      s"list_transform(b, x -> CASE WHEN x >= 128 THEN $P64 - 256 + CAST(x AS HUGEINT) " +
-      "ELSE CAST(x AS HUGEINT) END)), " +
-      s"(h, c) -> (xor(h, c) * 1099511628211) % $P64)"
+    val fnv = fnvBytes("b")
     "WITH src AS (SELECT c0 AS mid, c1 AS kind, c2 AS b " +
       s"FROM (VALUES $vals) v(c0, c1, c2)), " +
       s"hsh AS (SELECT mid, len(b) AS byte_len, ${toSigned(fnv)} AS content_hash FROM src), " +
@@ -553,6 +559,91 @@ object OracleSql {
       "f.j AS feat_idx, f.v AS feat_val " +
       "FROM src s JOIN hsh h ON h.mid = s.mid JOIN meta m ON m.mid = s.mid " +
       "JOIN feat f ON f.mid = s.mid ORDER BY media_id, feat_idx"
+  }
+
+  /** Full SQL replication of the multimodal METADATA path
+    * (multimodal_features: byte_len, content_hash, width, height,
+    * duration_ms — the query projects no feature vector) over the
+    * synthMedia set, whose exact bytes ship as hex VALUES: dims are
+    * read FROM THE BYTES at each container's published offsets (PNG
+    * IHDR big-endian, BMP/GIF little-endian, WAV fmt/data; JPEG SOF0
+    * sits at the fixed offset our baseline encoder emits — segment
+    * order SOI, APP0(16), DQT(67)x2 puts the marker at byte 158), and
+    * video rows replay the hash-derived stub (mix-chained dims and
+    * duration) exactly. The one path not re-derivable in SQL is
+    * nothing: this query's outputs are all integer metadata.
+    */
+  def multimodalMetaSql(rows: Seq[(Long, String, Array[Byte])]): String = {
+    val vals = rows.map { case (id, kind, bytes) =>
+      val hex = bytes.map(b => f"${b & 0xff}%02x").mkString
+      s"($id, '$kind', '$hex')"
+    }.mkString(", ")
+    // hex → byte list (0..255 ints)
+    val toBytes = "list_transform(range(0, length(hx) // 2), i -> " +
+      "(strpos('0123456789abcdef', hx[2*i + 1]) - 1) * 16 + " +
+      "strpos('0123456789abcdef', hx[2*i + 2]) - 1)"
+    def b(o: String) = s"bl[$o + 1]" // 0-based byte accessor
+    val le16 = (o: Int) => s"(${b(o.toString)} + 256 * ${b((o + 1).toString)})"
+    val le32 = (o: Int) => s"(${b(o.toString)} + 256 * ${b((o + 1).toString)} + " +
+      s"65536 * ${b((o + 2).toString)} + 16777216 * ${b((o + 3).toString)})"
+    val be16 = (o: Int) => s"(256 * ${b(o.toString)} + ${b((o + 1).toString)})"
+    val be32 = (o: Int) => s"(16777216 * ${b(o.toString)} + 65536 * ${b((o + 1).toString)} + " +
+      s"256 * ${b((o + 2).toString)} + ${b((o + 3).toString)})"
+    s"WITH msrc AS (SELECT c0 AS mid, c1 AS kind, c2 AS hx FROM (VALUES $vals) v(c0, c1, c2)), " +
+      s"mbl AS (SELECT mid, kind, length(hx) // 2 AS byte_len, $toBytes AS bl FROM msrc), " +
+      s"mh AS (SELECT mid, kind, byte_len, bl, ${fnvBytes("bl")} AS hu FROM mbl), " +
+      // format classification from magic bytes (synth images are real
+      // containers; fake-video bytes matching a magic AND a coherent
+      // header is out of the deterministic fixture's value space)
+      "mfmt AS (SELECT mid, kind, byte_len, bl, hu, CASE " +
+      "WHEN kind = 'image' AND bl[1] = 66 AND bl[2] = 77 THEN 'bmp' " +
+      "WHEN kind = 'image' AND bl[1] = 137 AND bl[2] = 80 THEN 'png' " +
+      "WHEN kind = 'image' AND bl[1] = 71 AND bl[2] = 73 THEN 'gif' " +
+      "WHEN kind = 'image' AND bl[1] = 255 AND bl[2] = 216 THEN 'jpeg' " +
+      "WHEN kind = 'audio' THEN 'wav' ELSE 'stub' END AS fmt FROM mh), " +
+      // stub dims/duration: w = 64 + (mix(h) & 0x3ff), h' = 64 +
+      // (mix(h+1) & 0x3ff), dur = 1000 + (mix(h+2) & 0xffff)
+      s"mst0 AS (SELECT mid, ${mixCols("sa", "hu", "m0")}, " +
+      s"${mixCols("sb", s"(hu + 1) % $P64", "m1")}, " +
+      s"${mixCols("sc", s"(hu + 2) % $P64", "m2")} FROM mfmt WHERE fmt = 'stub'), " +
+      "mstub AS (SELECT mid, CAST(64 + m0 % 1024 AS INTEGER) AS width, " +
+      "CAST(64 + m1 % 1024 AS INTEGER) AS height, " +
+      "CAST(1000 + m2 % 65536 AS BIGINT) AS duration_ms FROM mst0), " +
+      "mdims AS (SELECT f.mid, f.kind, f.byte_len, f.hu, CASE f.fmt " +
+      s"WHEN 'bmp' THEN ${le32(18)} WHEN 'png' THEN ${be32(16)} " +
+      s"WHEN 'gif' THEN ${le16(6)} WHEN 'jpeg' THEN ${be16(165)} " +
+      "WHEN 'wav' THEN 0 ELSE st.width END AS width, " +
+      s"CASE f.fmt WHEN 'bmp' THEN ${le32(22)} WHEN 'png' THEN ${be32(20)} " +
+      s"WHEN 'gif' THEN ${le16(8)} WHEN 'jpeg' THEN ${be16(163)} " +
+      "WHEN 'wav' THEN 0 ELSE st.height END AS height, " +
+      s"CASE f.fmt WHEN 'wav' THEN least(${le32(40)}, f.byte_len - 44) * 1000 // " +
+      s"(${le32(24)} * ${le16(22)} * (${le16(34)} // 8)) " +
+      "WHEN 'stub' THEN st.duration_ms ELSE 0 END AS duration_ms " +
+      "FROM mfmt f LEFT JOIN mstub st ON st.mid = f.mid) " +
+      "SELECT mid AS media_id, kind, byte_len, " +
+      s"${toSigned("hu")} AS content_hash, " +
+      "CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height, " +
+      "CAST(duration_ms AS BIGINT) AS duration_ms FROM mdims ORDER BY media_id"
+  }
+
+  /** Frame sampling for the VIDEO rows of the same synth set: the stub
+    * duration derives from the content hash exactly as in
+    * [[multimodalMetaSql]]; offsets = 0, 1000, ... &lt; duration.
+    */
+  def multimodalFramesSql(videoRows: Seq[(Long, Array[Byte])], everyMs: Long = 1000L): String = {
+    val vals = videoRows.map { case (id, bytes) =>
+      s"($id, '${bytes.map(x => f"${x & 0xff}%02x").mkString}')"
+    }.mkString(", ")
+    val toBytes = "list_transform(range(0, length(hx) // 2), i -> " +
+      "(strpos('0123456789abcdef', hx[2*i + 1]) - 1) * 16 + " +
+      "strpos('0123456789abcdef', hx[2*i + 2]) - 1)"
+    s"WITH fsrc AS (SELECT c0 AS mid, c1 AS hx FROM (VALUES $vals) v(c0, c1)), " +
+      s"fbl AS (SELECT mid, $toBytes AS bl FROM fsrc), " +
+      s"fh AS (SELECT mid, ${fnvBytes("bl")} AS hu FROM fbl), " +
+      s"fd0 AS (SELECT mid, ${mixCols("fa", s"(hu + 2) % $P64", "m2")} FROM fh), " +
+      "fd AS (SELECT mid, CAST(1000 + m2 % 65536 AS BIGINT) AS dur FROM fd0) " +
+      s"SELECT mid AS media_id, unnest(range(0, dur, $everyMs)) AS frame_offset_ms " +
+      "FROM fd ORDER BY media_id, frame_offset_ms"
   }
 
   /** Hyperplane signature CTEs over `embeddings` (dim 64): the seeded

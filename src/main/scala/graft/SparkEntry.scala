@@ -1434,6 +1434,18 @@ object SparkEntry {
       ("ann_batch_lsh" -> OracleSql.annBatchLshSql()) +
       // the C2 greedy-packing chunker as a string-encoded SQL fold
       ("chunk_documents" -> OracleSql.chunkSql()) +
+      // media METADATA path over the exact synthMedia bytes (hex
+      // VALUES): real header reads + the hash-derived video stub.
+      // NOTE: valid at the 128-row scale the driver verifies (the
+      // query sizes up only at sf0.1, which Verify never runs).
+      ("multimodal_features" -> OracleSql.multimodalMetaSql(
+        (0 until 128).map { i =>
+          val r = Multimodal.synthMediaRow(i.toLong)
+          (r.media_id, r.kind, r.media)
+        })) +
+      ("multimodal_frames" -> OracleSql.multimodalFramesSql(
+        (0 until 128).map(i => Multimodal.synthMediaRow(i.toLong))
+          .filter(_.kind == "video").map(r => (r.media_id, r.media)))) +
       // star contraction must equal the same transitive closure
       ("dedup_components_star" -> m("dedup_components")) +
       // kept-turn reassembly over the SAME composed real-model

@@ -250,29 +250,34 @@ object Multimodal {
     */
   def synthMedia(spark: SparkSession, n: Int, seed: Long = 11L): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.range(n).map { i =>
-      val r = new java.util.SplittableRandom(seed + i)
-      val kinds = Array("image", "audio", "video")
-      val kind = kinds(r.nextInt(3))
-      val (bytes, mime) = kind match {
-        case "image" =>
-          val w = 1 + r.nextInt(64)
-          val h = 1 + r.nextInt(64)
-          r.nextInt(4) match {
-            case 0 => (HeaderCodec.bmpBytes(w, h, seed + i), "image/bmp")
-            case 1 => (HeaderCodec.pngBytes(w, h, seed + i), "image/png")
-            case 2 => (HeaderCodec.gifBytes(w, h), "image/gif")
-            case _ => (JpegCodec.jpegScanBytes(w, h, seed + i), "image/jpeg")
-          }
-        case "audio" =>
-          (HeaderCodec.wavBytes(8000, 1 + r.nextInt(500), 1 + r.nextInt(2), seed + i),
-            "audio/wav")
-        case _ =>
-          val b = new Array[Byte](32 + r.nextInt(256))
-          r.nextBytes(b) // SplittableRandom#nextBytes is deterministic per seed
-          (b, "application/x-fake-video")
-      }
-      MediaRow(i, kind, bytes, mime, Map("src" -> s"synth-$i"))
+    spark.range(n).map(i => synthMediaRow(i, seed))
+  }
+
+  /** One synthetic media row — PURE (no Spark), so the oracle builder
+    * can regenerate the exact bytes the query's Dataset carries.
+    */
+  def synthMediaRow(i: Long, seed: Long = 11L): MediaRow = {
+    val r = new java.util.SplittableRandom(seed + i)
+    val kinds = Array("image", "audio", "video")
+    val kind = kinds(r.nextInt(3))
+    val (bytes, mime) = kind match {
+      case "image" =>
+        val w = 1 + r.nextInt(64)
+        val h = 1 + r.nextInt(64)
+        r.nextInt(4) match {
+          case 0 => (HeaderCodec.bmpBytes(w, h, seed + i), "image/bmp")
+          case 1 => (HeaderCodec.pngBytes(w, h, seed + i), "image/png")
+          case 2 => (HeaderCodec.gifBytes(w, h), "image/gif")
+          case _ => (JpegCodec.jpegScanBytes(w, h, seed + i), "image/jpeg")
+        }
+      case "audio" =>
+        (HeaderCodec.wavBytes(8000, 1 + r.nextInt(500), 1 + r.nextInt(2), seed + i),
+          "audio/wav")
+      case _ =>
+        val b = new Array[Byte](32 + r.nextInt(256))
+        r.nextBytes(b) // SplittableRandom#nextBytes is deterministic per seed
+        (b, "application/x-fake-video")
     }
+    MediaRow(i, kind, bytes, mime, Map("src" -> s"synth-$i"))
   }
 }
