@@ -8,15 +8,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
   * vectorized-ish inner loop, bounded batch memory).
   *
   * Decode coverage (r5): PNG (zlib inflate + unfilter), BMP (raw
-  * 24-bpp), JPEG (baseline Huffman + dequant + IDCT, [[JpegCodec]])
-  * and WAV (PCM16) are decoded FOR REAL — JDK-only, no codec
-  * library — with content-derived features (channel means, luminance
-  * histogram; RMS/peak/ZCR, amplitude histogram). The remaining
-  * stub formats (GIF LZW, compressed video) keep real header dims
-  * but a deterministic content-hash feature, so the Spark-side
-  * contract — schema, batch shape, partition-level resource
-  * lifecycle, null handling — is uniform and a real codec drops in
-  * behind the same function signature.
+  * 24-bpp), JPEG (baseline Huffman + dequant + IDCT, [[JpegCodec]]),
+  * GIF (LZW, [[GifCodec]]) and WAV (PCM16) are decoded FOR REAL —
+  * JDK-only, no codec library — with content-derived features
+  * (channel means, luminance histogram; RMS/peak/ZCR, amplitude
+  * histogram). The one remaining stub format (compressed video)
+  * keeps real header dims but a deterministic content-hash feature,
+  * so the Spark-side contract — schema, batch shape, partition-level
+  * resource lifecycle, null handling — is uniform and a real codec
+  * drops in behind the same function signature.
   */
 object Multimodal {
 
@@ -115,9 +115,10 @@ object Multimodal {
     /** Decode: REAL header parsing for BMP/PPM/PNG/GIF/JPEG
       * (width/height) and WAV (duration) via [[HeaderCodec]], and REAL
       * pixel/sample decode where the container allows it offline —
-      * PNG (zlib inflate + unfilter), BMP (raw 24-bpp), WAV (PCM16) —
-      * with content-derived features. Formats without an offline
-      * payload decoder (compressed video, GIF LZW)
+      * PNG (zlib inflate + unfilter), BMP (raw 24-bpp), JPEG
+      * (baseline), GIF (LZW), WAV (PCM16) — with content-derived
+      * features. Formats without an offline payload decoder
+      * (compressed video only)
       * keep the deterministic content-hash stub feature. Byte-stable,
       * null-safe, never throws.
       */
@@ -130,7 +131,8 @@ object Multimodal {
       // full-content paths first (dims AND pixels/samples)
       HeaderCodec.decodePngPixels(bytes)
         .orElse(HeaderCodec.decodeBmpPixels(bytes))
-        .orElse(JpegCodec.decodePixels(bytes)) match {
+        .orElse(JpegCodec.decodePixels(bytes))
+        .orElse(GifCodec.decodePixels(bytes)) match {
         case Some(img) =>
           return MediaFeatures(row.media_id, row.kind, bytes.length, h,
             img.width, img.height, 0L, imageFeature(img))
@@ -267,7 +269,7 @@ object Multimodal {
         r.nextInt(4) match {
           case 0 => (HeaderCodec.bmpBytes(w, h, seed + i), "image/bmp")
           case 1 => (HeaderCodec.pngBytes(w, h, seed + i), "image/png")
-          case 2 => (HeaderCodec.gifBytes(w, h), "image/gif")
+          case 2 => (GifCodec.gifPixelBytes(w, h, seed + i), "image/gif")
           case _ => (JpegCodec.jpegScanBytes(w, h, seed + i), "image/jpeg")
         }
       case "audio" =>

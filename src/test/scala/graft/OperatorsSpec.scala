@@ -142,7 +142,10 @@ class MultimodalSpec extends SparkTestBase {
           assert(HeaderCodec.isGif(m.media))
           val d = HeaderCodec.parseGif(m.media).get
           assert(d.width >= 1 && d.width <= 64 && d.height >= 1 && d.height <= 64)
-          assert(m.media.length == 14 && m.media.last == 0x3b)
+          assert(m.media.last == 0x3b) // trailer
+          // the LZW payload is real: it round-trips to the exact pixels
+          val img = graft.multimodal.GifCodec.decodePixels(m.media).get
+          assert(img.width == d.width && img.height == d.height)
         case "image/jpeg" =>
           assert(HeaderCodec.isJpeg(m.media))
           val d = HeaderCodec.parseJpeg(m.media).get // real SOF0 marker walk
