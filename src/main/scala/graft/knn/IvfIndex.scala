@@ -148,20 +148,26 @@ final class IvfIndex private[knn] (
     } finally batch.unpersist()
   }
 
-  /** Remove ids. Cells whose manifest id range cannot contain ANY of
+  /** Remove ids. Cells whose manifest id RANGE cannot contain any of
     * the ids are SKIPPED untouched (the previous shape rewrote EVERY
     * cell copy-on-write — at 10^4 cells a small delete was a full-index
-    * rewrite); legacy manifests without a range stay conservative and
-    * rewrite. Only possibly-containing cells are anti-joined and
-    * recommitted.
+    * rewrite), and cells whose manifest BLOOM contains none of them
+    * are skipped too — the range handles contiguous deletes, the bloom
+    * handles scattered ids whose hull overlaps every cell. Legacy
+    * manifests without range/bloom stay conservative and rewrite. Only
+    * possibly-containing cells are anti-joined and recommitted.
     */
   def deleteIds(ids: Seq[Any]): Unit = {
     if (ids.isEmpty) return
     TableIO.donePartitions(base).toSeq.sorted.foreach { cell =>
-      val skip = cellIdRange(cell).exists { case (mn, mx) =>
+      val rangeSkip = cellIdRange(cell).exists { case (mn, mx) =>
         !ids.exists(v => idCmp(mn, v) <= 0 && idCmp(v, mx) <= 0)
       }
-      if (!skip) {
+      val bloomSkip = !rangeSkip && cellBloom(cell).exists { bloom =>
+        !ids.exists(v => graft.functions.BloomAgg.mightContain(
+          bloom, graft.functions.BloomAgg.externalToCanonical(v)))
+      }
+      if (!rangeSkip && !bloomSkip) {
         val existing = TableIO.readPartition(spark, base, cell)
         val kept = existing.filter(!F.col(idCol).isInCollection(ids))
         commitCell(kept, cell)
@@ -172,8 +178,13 @@ final class IvfIndex private[knn] (
   /** Distributed variant: remove every id in `ids` (a one-column frame
     * that may lazily read OTHER tables — it is fully consumed here,
     * before any caller-side rewrite invalidates it). No driver collect
-    * of the ids; pruning uses only their min/max hull (one tiny agg),
-    * so a cell range disjoint from the hull is skipped untouched.
+    * of the ids: pruning is (1) the min/max hull (one tiny agg) against
+    * each cell's manifest range, then (2) ONE distributed pass testing
+    * every id against the broadcast blooms of the hull-surviving cells
+    * — only the HIT CELL IDS come back to the driver (≤ nCells ints,
+    * never ids). A scattered delete set whose hull covers the whole
+    * index thus still rewrites only the cells that can contain a
+    * target.
     */
   def deleteIdsDf(ids: DataFrame): Unit = {
     val idsOnly = ids.toDF(idCol).cache()
@@ -181,15 +192,41 @@ final class IvfIndex private[knn] (
       val hull = idsOnly.agg(F.min(idCol), F.max(idCol)).head()
       if (hull.isNullAt(0)) return
       val (hmn, hmx) = (idLit(hull.get(0)), idLit(hull.get(1)))
-      TableIO.donePartitions(base).toSeq.sorted.foreach { cell =>
-        val skip = cellIdRange(cell).exists { case (mn, mx) =>
+      val hullSurvivors = TableIO.donePartitions(base).toSeq.sorted.filter { cell =>
+        !cellIdRange(cell).exists { case (mn, mx) =>
           idCmp(mx, hmn) < 0 || idCmp(hmx, mn) < 0
         }
-        if (!skip) {
-          val existing = TableIO.readPartition(spark, base, cell)
-          val kept = existing.join(idsOnly, Seq(idCol), "left_anti")
-          commitCell(kept, cell)
+      }
+      val blooms = hullSurvivors.flatMap(c => cellBloom(c).map(b => (c, b)))
+      val noBloom = hullSurvivors.toSet -- blooms.map(_._1).toSet // legacy: rewrite
+      val numericIds = cellIdKindIsNum(hullSurvivors)
+      val bloomHits: Set[Int] =
+        if (blooms.isEmpty) Set.empty
+        else {
+          import graft.functions.BloomAgg
+          val bloomsLocal = blooms // serializable closure capture
+          val hitU = F.udf { (s: String) =>
+            if (s == null) Seq.empty[Int]
+            else {
+              val canonical =
+                if (numericIds)
+                  scala.util.Try(BloomAgg.externalToCanonical(
+                    new java.math.BigDecimal(s))).getOrElse(s)
+                else s
+              bloomsLocal.collect {
+                case (c, b) if BloomAgg.mightContain(b, canonical) => c
+              }
+            }
+          }
+          idsOnly
+            .select(F.explode(hitU(F.col(idCol).cast("string"))).as("cell"))
+            .distinct()
+            .collect().map(_.getInt(0)).toSet
         }
+      (noBloom ++ bloomHits).toSeq.sorted.foreach { cell =>
+        val existing = TableIO.readPartition(spark, base, cell)
+        val kept = existing.join(idsOnly, Seq(idCol), "left_anti")
+        commitCell(kept, cell)
       }
     } finally idsOnly.unpersist()
   }
@@ -197,37 +234,45 @@ final class IvfIndex private[knn] (
   private def commitCell(df: DataFrame, cell: Int): Unit = {
     val kept = df.cache()
     try {
-      val st = kept.agg(F.count(F.lit(1)), F.min(idCol), F.max(idCol)).head()
+      val st = kept.agg(F.count(F.lit(1)), F.min(idCol), F.max(idCol),
+        graft.functions.BloomAgg.bloom_agg(F.col(idCol))).head()
       if (st.getLong(0) == 0) {
         TableIO.deleteRecursive(TableIO.partitionDir(base, cell))
         Files.deleteIfExists(TableIO.manifestPath(base, cell))
       } else {
         TableIO.commitPartition(kept, base, cell)
         TableIO.writeManifest(base, cell,
-          manifestJson(cell, (st.getLong(0), st.get(1), st.get(2))))
+          manifestJson(cell, (st.getLong(0), st.get(1), st.get(2),
+            st.getAs[Array[Byte]](3))))
       }
     } finally kept.unpersist()
   }
 
-  /** Per-cell (rows, id_min, id_max) in ONE aggregate job. */
-  private def cellStats(df: DataFrame): Map[Int, (Long, Any, Any)] =
+  /** Per-cell (rows, id_min, id_max, id bloom) in ONE aggregate job. */
+  private def cellStats(df: DataFrame): Map[Int, (Long, Any, Any, Array[Byte])] =
     df.groupBy(TableIO.PART_COL)
-      .agg(F.count(F.lit(1)), F.min(idCol), F.max(idCol))
+      .agg(F.count(F.lit(1)), F.min(idCol), F.max(idCol),
+        graft.functions.BloomAgg.bloom_agg(F.col(idCol)))
       .collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.get(2), r.get(3))))
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.get(2), r.get(3),
+        r.getAs[Array[Byte]](4))))
       .toMap
 
-  /** Manifest entry with the delete-pruning id range. Ids serialize as
-    * JSON strings; "num" ranges compare as exact decimals (never
-    * Double — a >2^53 long would round and could wrongly prune), "str"
-    * ranges as UTF-8 bytes unsigned (Spark's own string ordering —
-    * Java compareTo is UTF-16 and disagrees above the BMP).
+  /** Manifest entry with the delete-pruning id range AND a fixed-size
+    * id Bloom filter (base64). Ids serialize as JSON strings; "num"
+    * ranges compare as exact decimals (never Double — a >2^53 long
+    * would round and could wrongly prune), "str" ranges as UTF-8 bytes
+    * unsigned (Spark's own string ordering — Java compareTo is UTF-16
+    * and disagrees above the BMP). The bloom prunes NON-CONTIGUOUS
+    * delete sets the range can't (ids scattered across the hull);
+    * false positives only disable pruning, never skip a real id.
     */
-  private def manifestJson(cell: Int, s: (Long, Any, Any)): String = {
+  private def manifestJson(cell: Int, s: (Long, Any, Any, Array[Byte])): String = {
     def esc(v: Any) = v.toString.replace("\\", "\\\\").replace("\"", "\\\"")
     val kind = s._2 match { case _: Number => "num"; case _ => "str" }
+    val bloom = java.util.Base64.getEncoder.encodeToString(s._4)
     s"""{"part_id":$cell,"rows":${s._1},"id_kind":"$kind",""" +
-      s""""id_min":"${esc(s._2)}","id_max":"${esc(s._3)}"}"""
+      s""""id_min":"${esc(s._2)}","id_max":"${esc(s._3)}","id_bloom":"$bloom"}"""
   }
 
   private def idCmp(a: Any, b: Any): Int = (a, b) match {
@@ -271,6 +316,27 @@ final class IvfIndex private[knn] (
         else (un(m.group(2)), un(m.group(3)))
       }
     }
+
+  /** Parsed id Bloom filter bytes from a cell's manifest; None for
+    * legacy manifests (conservative: caller rewrites).
+    */
+  private def cellBloom(cell: Int): Option[Array[Byte]] =
+    TableIO.readManifest(base, cell).flatMap { json =>
+      """"id_bloom":"([A-Za-z0-9+/=]*)"""".r.findFirstMatchIn(json)
+        .flatMap(m => scala.util.Try(
+          java.util.Base64.getDecoder.decode(m.group(1))).toOption)
+    }
+
+  /** True when the cells' manifests record numeric ids (drives the
+    * string→canonical normalization in the distributed bloom test).
+    */
+  private def cellIdKindIsNum(cells: Seq[Int]): Boolean =
+    cells.iterator
+      .flatMap(c => TableIO.readManifest(base, c))
+      .flatMap(j => """"id_kind":"(num|str)"""".r.findFirstMatchIn(j))
+      .map(_.group(1))
+      .nextOption()
+      .contains("num")
 }
 
 object IvfIndex {

@@ -179,6 +179,53 @@ class IvfIndexSpec extends SparkTestBase {
     assert(survivors == (0L until 160L).toSet -- candidates)
   }
 
+  test("deleteIds prunes by manifest BLOOM when every cell's id range overlaps") {
+    val base = fresh("bloomprune")
+    // the interleaved default corpus gives every cell a near-full id
+    // range — range pruning can never skip here; only the bloom can
+    val data = corpus(160)
+    val idx = IvfIndex.build(spark, data, "id", "emb", base, nCells = 4)
+    val cells = TableIO.donePartitions(base).toSeq.sorted
+    def cellIds(c: Int) = TableIO.readPartition(spark, base, c)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val byCell = cells.map(c => c -> cellIds(c)).toMap
+    val victimCell = byCell.maxBy { case (_, ids) => ids.size }._1
+    val others = cells.filterNot(_ == victimCell)
+    // victims chosen strictly INSIDE every other cell's [min,max] so a
+    // range-only pruner would rewrite everything
+    val victims = byCell(victimCell).filter(v =>
+      others.forall(c => v > byCell(c).min && v < byCell(c).max)).take(2).toSeq
+    assume(victims.nonEmpty, "fixture produced no range-covered victim ids")
+    def snapshot() = others.flatMap { c =>
+      val dir = TableIO.partitionDir(base, c)
+      java.nio.file.Files.list(dir).iterator().asScala.toSeq
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p))
+    }.toMap
+    val before = snapshot()
+    idx.deleteIds(victims)
+    assert(snapshot() == before,
+      "a delete bloom-confined to one cell rewrote range-overlapping cells")
+    val survivors = TableIO.read(spark, base)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(survivors == (0L until 160L).toSet -- victims)
+
+    // distributed variant: same pruning with the ids arriving as a
+    // DataFrame (hull covers everything; the broadcast-bloom pass must
+    // bring back only the hit cells)
+    val victims2 = byCell(victimCell).filter(v =>
+      !victims.contains(v) &&
+        others.forall(c => v > byCell(c).min && v < byCell(c).max)).take(2).toSeq
+    assume(victims2.nonEmpty, "fixture produced no second victim set")
+    import spark.implicits._
+    val before2 = snapshot()
+    idx.deleteIdsDf(victims2.toDF("id"))
+    assert(snapshot() == before2,
+      "deleteIdsDf's bloom pass rewrote cells containing none of the ids")
+    val survivors2 = TableIO.read(spark, base)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(survivors2 == (0L until 160L).toSet -- victims -- victims2)
+  }
+
   test("add commits all receiving cells with a job count independent of cell count") {
     val base = fresh("addjobs")
     val idx = IvfIndex.build(spark, corpus(80), "id", "emb", base, nCells = 8)
