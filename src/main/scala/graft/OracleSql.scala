@@ -600,7 +600,10 @@ object OracleSql {
       "WHEN kind = 'image' AND bl[1] = 137 AND bl[2] = 80 THEN 'png' " +
       "WHEN kind = 'image' AND bl[1] = 71 AND bl[2] = 73 THEN 'gif' " +
       "WHEN kind = 'image' AND bl[1] = 255 AND bl[2] = 216 THEN 'jpeg' " +
-      "WHEN kind = 'audio' THEN 'wav' ELSE 'stub' END AS fmt FROM mh), " +
+      "WHEN kind = 'audio' THEN 'wav' " +
+      "WHEN kind = 'video' AND bl[1] = 82 AND bl[2] = 73 AND bl[3] = 70 " +
+      "AND bl[4] = 70 AND bl[9] = 65 AND bl[10] = 86 AND bl[11] = 73 THEN 'avi' " +
+      "ELSE 'stub' END AS fmt FROM mh), " +
       // stub dims/duration: w = 64 + (mix(h) & 0x3ff), h' = 64 +
       // (mix(h+1) & 0x3ff), dur = 1000 + (mix(h+2) & 0xffff)
       s"mst0 AS (SELECT mid, ${mixCols("sa", "hu", "m0")}, " +
@@ -609,15 +612,21 @@ object OracleSql {
       "mstub AS (SELECT mid, CAST(64 + m0 % 1024 AS INTEGER) AS width, " +
       "CAST(64 + m1 % 1024 AS INTEGER) AS height, " +
       "CAST(1000 + m2 % 65536 AS BIGINT) AS duration_ms FROM mst0), " +
+      // AVI fields at the canonical writer's fixed offsets
+      // (AviCodec.aviMjpegBytes: usPerFrame @32, nFrames @48, width
+      // @64, height @68, all u32 LE)
       "mdims AS (SELECT f.mid, f.kind, f.byte_len, f.hu, CASE f.fmt " +
       s"WHEN 'bmp' THEN ${le32(18)} WHEN 'png' THEN ${be32(16)} " +
       s"WHEN 'gif' THEN ${le16(6)} WHEN 'jpeg' THEN ${be16(165)} " +
+      s"WHEN 'avi' THEN ${le32(64)} " +
       "WHEN 'wav' THEN 0 ELSE st.width END AS width, " +
       s"CASE f.fmt WHEN 'bmp' THEN ${le32(22)} WHEN 'png' THEN ${be32(20)} " +
       s"WHEN 'gif' THEN ${le16(8)} WHEN 'jpeg' THEN ${be16(163)} " +
+      s"WHEN 'avi' THEN ${le32(68)} " +
       "WHEN 'wav' THEN 0 ELSE st.height END AS height, " +
       s"CASE f.fmt WHEN 'wav' THEN least(${le32(40)}, f.byte_len - 44) * 1000 // " +
       s"(${le32(24)} * ${le16(22)} * (${le16(34)} // 8)) " +
+      s"WHEN 'avi' THEN ${le32(32)} * ${le32(48)} // 1000 " +
       "WHEN 'stub' THEN st.duration_ms ELSE 0 END AS duration_ms " +
       "FROM mfmt f LEFT JOIN mstub st ON st.mid = f.mid) " +
       "SELECT mid AS media_id, kind, byte_len, " +
@@ -626,9 +635,11 @@ object OracleSql {
       "CAST(duration_ms AS BIGINT) AS duration_ms FROM mdims ORDER BY media_id"
   }
 
-  /** Frame sampling for the VIDEO rows of the same synth set: the stub
-    * duration derives from the content hash exactly as in
-    * [[multimodalMetaSql]]; offsets = 0, 1000, ... &lt; duration.
+  /** Frame sampling for the VIDEO rows of the same synth set: AVI rows
+    * derive duration from the REAL header (usPerFrame · nFrames /
+    * 1000 at the canonical writer offsets), opaque rows replay the
+    * hash-derived stub exactly as in [[multimodalMetaSql]]; offsets =
+    * 0, 1000, ... &lt; duration.
     */
   def multimodalFramesSql(videoRows: Seq[(Long, Array[Byte])], everyMs: Long = 1000L): String = {
     val vals = videoRows.map { case (id, bytes) =>
@@ -637,11 +648,19 @@ object OracleSql {
     val toBytes = "list_transform(range(0, length(hx) // 2), i -> " +
       "(strpos('0123456789abcdef', hx[2*i + 1]) - 1) * 16 + " +
       "strpos('0123456789abcdef', hx[2*i + 2]) - 1)"
+    def b(o: Int) = s"bl[${o + 1}]"
+    def le32(o: Int) = s"(${b(o)} + 256 * ${b(o + 1)} + " +
+      s"65536 * ${b(o + 2)} + 16777216 * ${b(o + 3)})"
     s"WITH fsrc AS (SELECT c0 AS mid, c1 AS hx FROM (VALUES $vals) v(c0, c1)), " +
       s"fbl AS (SELECT mid, $toBytes AS bl FROM fsrc), " +
-      s"fh AS (SELECT mid, ${fnvBytes("bl")} AS hu FROM fbl), " +
-      s"fd0 AS (SELECT mid, ${mixCols("fa", s"(hu + 2) % $P64", "m2")} FROM fh), " +
-      "fd AS (SELECT mid, CAST(1000 + m2 % 65536 AS BIGINT) AS dur FROM fd0) " +
+      s"fh AS (SELECT mid, bl, ${fnvBytes("bl")} AS hu, " +
+      "(bl[1] = 82 AND bl[2] = 73 AND bl[3] = 70 AND bl[4] = 70 " +
+      "AND bl[9] = 65 AND bl[10] = 86 AND bl[11] = 73) AS isavi FROM fbl), " +
+      s"fd0 AS (SELECT mid, ${mixCols("fa", s"(hu + 2) % $P64", "m2")} FROM fh WHERE NOT isavi), " +
+      "fds AS (SELECT mid, CAST(1000 + m2 % 65536 AS BIGINT) AS dur FROM fd0), " +
+      s"fda AS (SELECT mid, CAST(${le32(32)} * ${le32(48)} // 1000 AS BIGINT) AS dur " +
+      "FROM fh WHERE isavi), " +
+      "fd AS (SELECT * FROM fds UNION ALL SELECT * FROM fda) " +
       s"SELECT mid AS media_id, unnest(range(0, dur, $everyMs)) AS frame_offset_ms " +
       "FROM fd ORDER BY media_id, frame_offset_ms"
   }

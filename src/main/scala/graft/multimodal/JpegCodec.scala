@@ -428,12 +428,14 @@ object JpegCodec extends Serializable {
           w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
           nComp = b(seg + 5) & 0xff
           if (w <= 0 || h <= 0 || nComp != 3) return None
+          if (segLen < 6 + 3 * 3) return None // component entries must fit the segment
           if (w.toLong * h * 3 > 64L * 1024 * 1024) return None
           var c = 0
           while (c < 3) {
             val samp = b(seg + 6 + c * 3 + 1) & 0xff
             if (samp != 0x11) return None // 1x1 sampling only
             compQ(c) = b(seg + 6 + c * 3 + 2) & 0x0f
+            if (compQ(c) > 3) return None // quant table id out of range
             c += 1
           }
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
@@ -448,6 +450,7 @@ object JpegCodec extends Serializable {
             val tables = b(seg + 1 + c * 2 + 1) & 0xff
             compDc(c) = tables >> 4
             compAc(c) = tables & 0x0f
+            if (compDc(c) > 3 || compAc(c) > 3) return None // table id out of range
             c += 1
           }
           scanStart = i + 2 + len

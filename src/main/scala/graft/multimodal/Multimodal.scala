@@ -9,14 +9,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
   *
   * Decode coverage (r5): PNG (zlib inflate + unfilter), BMP (raw
   * 24-bpp), JPEG (baseline Huffman + dequant + IDCT, [[JpegCodec]]),
-  * GIF (LZW, [[GifCodec]]) and WAV (PCM16) are decoded FOR REAL —
-  * JDK-only, no codec library — with content-derived features
-  * (channel means, luminance histogram; RMS/peak/ZCR, amplitude
-  * histogram). The one remaining stub format (compressed video)
-  * keeps real header dims but a deterministic content-hash feature,
-  * so the Spark-side contract — schema, batch shape, partition-level
-  * resource lifecycle, null handling — is uniform and a real codec
-  * drops in behind the same function signature.
+  * GIF (LZW, [[GifCodec]]), WAV (PCM16) and MJPEG-in-AVI video
+  * ([[AviCodec]]: RIFF chunk walk + first-frame JPEG decode) are
+  * decoded FOR REAL — JDK-only, no codec library — with
+  * content-derived features (channel means, luminance histogram;
+  * RMS/peak/ZCR, amplitude histogram). No stub format remains for
+  * the synthetic media kinds; bytes no codec recognizes still take
+  * the deterministic hash fallback, so the Spark-side contract —
+  * schema, batch shape, partition-level resource lifecycle, null
+  * handling — is uniform for arbitrary foreign payloads.
   */
 object Multimodal {
 
@@ -113,14 +114,12 @@ object Multimodal {
     }
 
     /** Decode: REAL header parsing for BMP/PPM/PNG/GIF/JPEG
-      * (width/height) and WAV (duration) via [[HeaderCodec]], and REAL
-      * pixel/sample decode where the container allows it offline —
-      * PNG (zlib inflate + unfilter), BMP (raw 24-bpp), JPEG
-      * (baseline), GIF (LZW), WAV (PCM16) — with content-derived
-      * features. Formats without an offline payload decoder
-      * (compressed video only)
-      * keep the deterministic content-hash stub feature. Byte-stable,
-      * null-safe, never throws.
+      * (width/height), WAV (duration) and AVI (dims + duration) plus
+      * REAL pixel/sample decode — PNG (zlib inflate + unfilter), BMP
+      * (raw 24-bpp), JPEG (baseline), GIF (LZW), WAV (PCM16), AVI
+      * first frame (MJPEG) — with content-derived features. Bytes no
+      * codec recognizes keep the deterministic content-hash fallback.
+      * Byte-stable, null-safe, never throws.
       */
     def decode(row: MediaRow): MediaFeatures = {
       val bytes = if (row.media == null) Array.emptyByteArray else row.media
@@ -142,6 +141,16 @@ object Multimodal {
         case Some((info, samples)) =>
           return MediaFeatures(row.media_id, row.kind, bytes.length, h,
             0, 0, info.durationMs, audioFeature(samples))
+        case None =>
+      }
+      // video: MJPEG-in-AVI — real header meta + first-frame content
+      // feature through the baseline JPEG decoder
+      AviCodec.parseAvi(bytes) match {
+        case Some(meta) =>
+          val feat = AviCodec.firstFramePixels(bytes)
+            .map(imageFeature).getOrElse(stubFeat)
+          return MediaFeatures(row.media_id, row.kind, bytes.length, h,
+            meta.width, meta.height, meta.durationMs, feat)
         case None =>
       }
       val real: Option[(Int, Int, Long)] =
@@ -245,10 +254,11 @@ object Multimodal {
 
   /** Deterministic synthetic media table for tests (no binary assets
     * ship in-repo): images rotate across REAL minimal BMP/PNG/GIF/JPEG
-    * containers and audio rows are REAL PCM WAVs (built by
+    * containers, audio rows are REAL PCM WAVs (built by
     * [[HeaderCodec]]'s encoders, so extractFeatures exercises every
-    * real header parser); video rows stay opaque fake bytes and take
-    * the stub path.
+    * real header parser), and 3 of 4 video rows are REAL MJPEG AVIs —
+    * the remainder stay opaque fake bytes to keep the unrecognized-
+    * payload fallback exercised.
     */
   def synthMedia(spark: SparkSession, n: Int, seed: Long = 11L): Dataset[MediaRow] = {
     import spark.implicits._
@@ -276,9 +286,20 @@ object Multimodal {
         (HeaderCodec.wavBytes(8000, 1 + r.nextInt(500), 1 + r.nextInt(2), seed + i),
           "audio/wav")
       case _ =>
-        val b = new Array[Byte](32 + r.nextInt(256))
-        r.nextBytes(b) // SplittableRandom#nextBytes is deterministic per seed
-        (b, "application/x-fake-video")
+        if (r.nextInt(4) == 0) {
+          // keep the opaque-bytes fallback path exercised (the uniform
+          // contract for bytes no codec recognizes)
+          val b = new Array[Byte](32 + r.nextInt(256))
+          r.nextBytes(b) // SplittableRandom#nextBytes is deterministic per seed
+          (b, "application/x-fake-video")
+        } else {
+          // REAL MJPEG-in-AVI: duration 1000..3000 ms by construction
+          val w = 8 + r.nextInt(25)
+          val h = 8 + r.nextInt(25)
+          val fps = if (r.nextInt(2) == 0) 2 else 5
+          val nFrames = fps + r.nextInt(2 * fps + 1)
+          (AviCodec.aviMjpegBytes(w, h, nFrames, fps, seed + i), "video/avi")
+        }
     }
     MediaRow(i, kind, bytes, mime, Map("src" -> s"synth-$i"))
   }

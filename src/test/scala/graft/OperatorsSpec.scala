@@ -103,14 +103,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1.forall(_.feature.length == Multimodal.FakeCodec.featureDim))
     // images are REAL BMPs (synthMedia dims 1..64) decoded by the real
     // header parser; audio rows are REAL WAVs (duration 1..500 ms,
-    // dims n/a); video stays on the stub path (hash-derived dims)
+    // dims n/a); AVI video rows carry real header meta (8..32 px,
+    // 1000..3000 ms by construction) while opaque fake-video rows stay
+    // on the hash-derived fallback
     assert(f1.filter(_.kind == "image").forall(f =>
       f.width >= 1 && f.width <= 64 && f.height >= 1 && f.height <= 64 &&
         f.duration_ms == 0L))
     assert(f1.filter(_.kind == "audio").forall(f =>
       f.width == 0 && f.height == 0 && f.duration_ms >= 1L && f.duration_ms <= 500L))
-    assert(f1.filter(_.kind == "video").forall(f =>
-      f.width >= 64 && f.height >= 64 && f.duration_ms >= 1000L))
+    val mimeById = Multimodal.synthMedia(spark, 50).collect()
+      .map(m => m.media_id -> m.mime).toMap
+    assert(f1.filter(_.kind == "video").forall { f =>
+      if (mimeById(f.media_id) == "video/avi")
+        f.width >= 8 && f.width <= 32 && f.height >= 8 && f.height <= 32 &&
+          f.duration_ms >= 1000L && f.duration_ms <= 3000L
+      else
+        f.width >= 64 && f.height >= 64 && f.duration_ms >= 1000L
+    })
   }
 
   test("real header decode: BMP/PNG/GIF/JPEG/WAV round through synthMedia's real encoders") {
