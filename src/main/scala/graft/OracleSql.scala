@@ -469,7 +469,7 @@ object OracleSql {
   }
 
   /** Full SQL replication of the BMP/WAV feature extraction
-    * ([[graft.multimodal.Multimodal.FakeCodec.decode]] on its REAL
+    * ([[graft.multimodal.Multimodal.MediaCodec.decode]] on its REAL
     * payload paths) over a fixed media set whose exact container bytes
     * ship as VALUES int lists: raw 24-bpp bottom-up BGR pixels and
     * PCM16 LE samples are pure integer indexing, the FNV-1a 64
@@ -482,7 +482,7 @@ object OracleSql {
     * is exact — no order forcing needed (unlike the log-prob folds).
     */
   /** FNV-1a 64 over a byte-list expr, replicating
-    * Multimodal.FakeCodec.hashBytes: the engine XORs the SIGNED byte
+    * Multimodal.MediaCodec.hashBytes: the engine XORs the SIGNED byte
     * (sign-extended to 64 bits), so a byte v >= 0x80 contributes
     * 2^64 - 256 + v, not v. Result is unsigned HUGEINT in [0, 2^64).
     */

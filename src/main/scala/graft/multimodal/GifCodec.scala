@@ -6,7 +6,7 @@ package graft.multimodal
   * sub-block framing) plus the container walk (logical screen
   * descriptor, global color table, extension skip, image descriptor).
   *
-  * This closes the last image-format stub in [[Multimodal.FakeCodec]]:
+  * This closes the last image-format stub in [[Multimodal.MediaCodec]]:
   * BMP (raw), PNG (deflate), JPEG (baseline Huffman) and now GIF (LZW)
   * all decode to content-derived pixels. The reference pipeline treats
   * media as opaque text-adjacent payloads (data_manager.py stores text

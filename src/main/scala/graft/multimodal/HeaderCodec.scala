@@ -20,7 +20,7 @@ package graft.multimodal
   *     width u16 BE at +3/+5 in the segment body). Dimension
   *     extraction needs no entropy decoding — SOF precedes the scan.
   *
-  * These replace the stub behind [[Multimodal.FakeCodec.decode]] for
+  * These replace the stub behind [[Multimodal.MediaCodec.decode]] for
   * the formats they recognize (the reference pipeline treats media as
   * opaque payloads — data_manager.py stores text only — so this is
   * beyond-reference capability); unrecognized bytes still fall through
@@ -377,6 +377,34 @@ object HeaderCodec extends Serializable {
       if ((i - 54) % 8 == 0) x = graft.util.Hash.mix(x)
       out(i) = (x >>> (((i - 54) % 8) * 8)).toByte
       i += 1
+    }
+    out
+  }
+
+  /** Encode RGB pixels as a real 24-bpp BMP (BGR, bottom-up, 4-byte
+    * row padding) — the exact container [[decodeBmpPixels]] reads
+    * back, used by the real image resize to emit lossless output.
+    */
+  def bmpBytesFromRgb(img: RgbImage): Array[Byte] = {
+    val w = img.width
+    val h = img.height
+    require(w > 0 && h > 0 && img.rgb.length == w * h * 3)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val out = bmpBytes(w, h, 0L) // header layout; pixels overwritten below
+    var y = 0
+    while (y < h) {
+      val dstRow = 54 + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        out(dstRow + x * 3) = img.rgb((y * w + x) * 3 + 2)     // B
+        out(dstRow + x * 3 + 1) = img.rgb((y * w + x) * 3 + 1) // G
+        out(dstRow + x * 3 + 2) = img.rgb((y * w + x) * 3)     // R
+        x += 1
+      }
+      // zero the pad bytes the noise fill left behind
+      var p = 54 + (h - 1 - y) * rowSize + w * 3
+      while (p < dstRow + rowSize) { out(p) = 0; p += 1 }
+      y += 1
     }
     out
   }

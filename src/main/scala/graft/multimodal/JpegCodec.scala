@@ -15,7 +15,7 @@ import scala.collection.mutable.ArrayBuffer
   * 1x1x1-sampled baseline file, not just our own bytes) and declines
   * anything outside scope by returning None — the caller falls back to
   * the header-dims + hash-stub path, exactly like every other codec
-  * guard in [[Multimodal.FakeCodec]].
+  * guard in [[Multimodal.MediaCodec]].
   *
   * The reference treats media as opaque blobs, so this is
   * beyond-reference polish; the Spark-side contract (batched

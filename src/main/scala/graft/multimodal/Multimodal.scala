@@ -40,10 +40,13 @@ object Multimodal {
       feature: Array[Float] // fixed-dim feature vector (stub: hashed bytes)
   )
 
-  /** STUB CODEC — deterministic fake decode. A real implementation
-    * replaces only this object (same signatures).
+  /** The media codec (formerly the stub): real JDK-only decoders for
+    * every synthetic container — [[HeaderCodec]] (BMP/PNG/WAV + all
+    * header parsers), [[JpegCodec]], [[GifCodec]], [[AviCodec]] — with
+    * a deterministic hash fallback for unrecognized payloads so
+    * decode() is total over arbitrary bytes.
     */
-  object FakeCodec extends Serializable {
+  object MediaCodec extends Serializable {
     val featureDim = 16
 
     @inline private def mix(x: Long): Long = graft.util.Hash.mix(x)
@@ -128,10 +131,7 @@ object Multimodal {
         ((mix(h + 3 + d) & 0xffff).toFloat / 0xffff.toFloat) * 2f - 1f
       }
       // full-content paths first (dims AND pixels/samples)
-      HeaderCodec.decodePngPixels(bytes)
-        .orElse(HeaderCodec.decodeBmpPixels(bytes))
-        .orElse(JpegCodec.decodePixels(bytes))
-        .orElse(GifCodec.decodePixels(bytes)) match {
+      decodeAnyImage(bytes) match {
         case Some(img) =>
           return MediaFeatures(row.media_id, row.kind, bytes.length, h,
             img.width, img.height, 0L, imageFeature(img))
@@ -171,27 +171,85 @@ object Multimodal {
       }
     }
 
-    /** Deterministic frame sampling positions for video (stub). */
+    /** Deterministic frame sampling positions for video. */
     def sampleFrameOffsets(durationMs: Long, everyMs: Long): Seq[Long] =
       if (durationMs <= 0 || everyMs <= 0) Nil
       else 0L.until(durationMs, everyMs)
 
-    /** STUB resize: deterministic bytes derived from (content hash,
-      * target dims) with a plausible size model (∝ w·h); a real codec
-      * replaces only this function.
+    /** Any decodable image container → RGB pixels (PNG zlib, BMP raw,
+      * JPEG baseline, GIF LZW).
       */
-    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val h0 = hashBytes(bytes)
-      val n = math.max(16, (w.toLong * h / 64).toInt)
-      val out = new Array[Byte](n)
-      var x = mix(h0 ^ mix(w.toLong << 32 | h.toLong))
-      var i = 0
-      while (i < n) {
-        if (i % 8 == 0) x = mix(x)
-        out(i) = (x >>> ((i % 8) * 8)).toByte
-        i += 1
+    def decodeAnyImage(bytes: Array[Byte]): Option[HeaderCodec.RgbImage] =
+      HeaderCodec.decodePngPixels(bytes)
+        .orElse(HeaderCodec.decodeBmpPixels(bytes))
+        .orElse(JpegCodec.decodePixels(bytes))
+        .orElse(GifCodec.decodePixels(bytes))
+
+    /** REAL resize: decode any supported container, box-filter
+      * resample with pure integer math (each target pixel averages its
+      * proportional source rectangle — deterministic, no float), emit
+      * a lossless 24-bpp BMP. Bytes no codec recognizes fall back to
+      * the deterministic hash fill (the uniform contract for foreign
+      * payloads).
+      */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      decodeAnyImage(bytes) match {
+        case Some(img) => HeaderCodec.bmpBytesFromRgb(resampleBox(img, w, h))
+        case None =>
+          val h0 = hashBytes(bytes)
+          val n = math.max(16, (w.toLong * h / 64).toInt)
+          val out = new Array[Byte](n)
+          var x = mix(h0 ^ mix(w.toLong << 32 | h.toLong))
+          var i = 0
+          while (i < n) {
+            if (i % 8 == 0) x = mix(x)
+            out(i) = (x >>> ((i % 8) * 8)).toByte
+            i += 1
+          }
+          out
       }
-      out
+
+    /** Box-filter resample: target pixel (x, y) averages the source
+      * rectangle [x·sw/w, (x+1)·sw/w) × [y·sh/h, (y+1)·sh/h) (at least
+      * one source pixel), integer division — upscale degenerates to
+      * nearest-neighbor replication, downscale to area averaging.
+      */
+    def resampleBox(img: HeaderCodec.RgbImage, w: Int, h: Int): HeaderCodec.RgbImage = {
+      require(w > 0 && h > 0)
+      val sw = img.width
+      val sh = img.height
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val y0 = (y.toLong * sh / h).toInt
+        val y1 = math.max(y0 + 1, ((y + 1).toLong * sh / h).toInt)
+        var x = 0
+        while (x < w) {
+          val x0 = (x.toLong * sw / w).toInt
+          val x1 = math.max(x0 + 1, ((x + 1).toLong * sw / w).toInt)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var sy = y0
+          while (sy < y1) {
+            var sx = x0
+            while (sx < x1) {
+              val p = (sy * sw + sx) * 3
+              sr += img.rgb(p) & 0xff
+              sg += img.rgb(p + 1) & 0xff
+              sb += img.rgb(p + 2) & 0xff
+              sx += 1
+            }
+            sy += 1
+          }
+          val n = (y1 - y0).toLong * (x1 - x0)
+          val q = (y * w + x) * 3
+          out(q) = (sr / n).toByte
+          out(q + 1) = (sg / n).toByte
+          out(q + 2) = (sb / n).toByte
+          x += 1
+        }
+        y += 1
+      }
+      HeaderCodec.RgbImage(w, h, out)
     }
   }
 
@@ -209,7 +267,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       // [real codec: open native handle here, close via final batch]
       rows.grouped(batchSize).flatMap { batch =>
-        batch.map(FakeCodec.decode)
+        batch.map(MediaCodec.decode)
       }
     }
   }
@@ -232,7 +290,7 @@ object Multimodal {
         batch.map { r =>
           if (r.kind == "image" && r.media != null)
             r.copy(
-              media = FakeCodec.resize(r.media, w, h),
+              media = MediaCodec.resize(r.media, w, h),
               meta = r.meta ++ Map("resized_w" -> w.toString, "resized_h" -> h.toString))
           else r
         }

@@ -223,7 +223,7 @@ class HeaderCodecSpec extends AnyFunSuite {
     val (info, got) = HeaderCodec.decodeWavSamples(wav).get
     assert(info.sampleRate == 8000 && got.toSeq == samples)
     // content-derived audio feature: RMS/peak match hand math
-    val f = graft.multimodal.Multimodal.FakeCodec.audioFeature(got)
+    val f = graft.multimodal.Multimodal.MediaCodec.audioFeature(got)
     val rms = math.sqrt(samples.map(s => s.toDouble * s).sum / samples.length) / 32768.0
     assert(math.abs(f(0) - rms) < 1e-6)
     assert(f(1) == 1f && f(15) == 1f) // peak 32768/32768, real marker

@@ -100,7 +100,7 @@ class MultimodalSpec extends SparkTestBase {
     val f2 = Multimodal.extractFeatures(spark, Multimodal.synthMedia(spark, 50))
       .collect().sortBy(_.media_id)
     assert(f1.map(_.content_hash).toSeq == f2.map(_.content_hash).toSeq)
-    assert(f1.forall(_.feature.length == Multimodal.FakeCodec.featureDim))
+    assert(f1.forall(_.feature.length == Multimodal.MediaCodec.featureDim))
     // images are REAL BMPs (synthMedia dims 1..64) decoded by the real
     // header parser; audio rows are REAL WAVs (duration 1..500 ms,
     // dims n/a); AVI video rows carry real header meta (8..32 px,
@@ -191,6 +191,25 @@ class MultimodalSpec extends SparkTestBase {
     resized.zip(again).foreach { case (a, b) =>
       assert(java.util.Arrays.equals(a.media, b.media))
     }
+    // the resize is REAL: output decodes as a BMP with the target dims
+    resized.filter(_.kind == "image").foreach { r =>
+      val img = graft.multimodal.HeaderCodec.decodeBmpPixels(r.media).get
+      assert(img.width == 256 && img.height == 256)
+    }
+  }
+
+  test("box resample: uniform color preserved exactly; 2x2 downscale averages") {
+    import graft.multimodal.{HeaderCodec, Multimodal => M}
+    val uni = HeaderCodec.RgbImage(5, 3, Array.fill(5 * 3 * 3)(77.toByte))
+    val up = M.MediaCodec.resampleBox(uni, 11, 7)
+    assert(up.rgb.forall(_ == 77.toByte))
+    // 2x2 block of (0, 100, 200, 50) averages to 87 per channel
+    val px = Array(0, 100, 200, 50).flatMap(v => Array(v, v, v)).map(_.toByte)
+    val down = M.MediaCodec.resampleBox(HeaderCodec.RgbImage(2, 2, px), 1, 1)
+    assert(down.rgb.toSeq == Seq[Byte](87, 87, 87))
+    // round-trip through the BMP encoder is lossless
+    val bmp = HeaderCodec.bmpBytesFromRgb(up)
+    assert(HeaderCodec.decodeBmpPixels(bmp).get.rgb.toSeq == up.rgb.toSeq)
   }
 
   test("frame sampling explodes deterministic offsets for video rows only") {
