@@ -226,6 +226,46 @@ class IvfIndexSpec extends SparkTestBase {
     assert(survivors2 == (0L until 160L).toSet -- victims -- victims2)
   }
 
+  test("deleteIdsDf: bloom pass is one distributed job; rewrites only hit cells") {
+    val base = fresh("deljobs")
+    val idx = IvfIndex.build(spark, corpus(160), "id", "emb", base, nCells = 8)
+    val cells = TableIO.donePartitions(base).toSeq.sorted
+    assert(cells.size >= 4) // the 4-anchor corpus may leave some of the 8 cells empty
+    // one victim from one cell, range-covered by every other cell
+    val byCell = cells.map(c => c -> TableIO.readPartition(spark, base, c)
+      .select("id").collect().map(_.getLong(0)).toSet).toMap
+    val victimCell = byCell.maxBy(_._2.size)._1
+    val victim = byCell(victimCell).find(v =>
+      cells.filterNot(_ == victimCell)
+        .forall(c => v > byCell(c).min && v < byCell(c).max))
+    assume(victim.nonEmpty, "no range-covered victim")
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      idx.deleteIdsDf(Seq(victim.get).toDF("id"))
+      var last = -1; var stable = 0; var waited = 0
+      while (stable < 4 && waited < 100) {
+        Thread.sleep(100); waited += 1
+        val now = jobs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // cache fill + hull agg + ONE bloom-hit pass + the single hit
+    // cell's rewrite (read/listing + stats agg + staged write +
+    // manifest) ≈ 11 — CONSTANT in cell count; the pre-bloom shape
+    // rewrote EVERY range-overlapping cell at ~4 jobs each (≥ 24 at
+    // the ≥ 6 cells this fixture builds)
+    assert(jobs.get() <= 12, s"deleteIdsDf ran ${jobs.get()} jobs for a 1-cell delete")
+    val survivors = TableIO.read(spark, base)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(survivors == (0L until 160L).toSet - victim.get)
+  }
+
   test("add commits all receiving cells with a job count independent of cell count") {
     val base = fresh("addjobs")
     val idx = IvfIndex.build(spark, corpus(80), "id", "emb", base, nCells = 8)
