@@ -258,6 +258,90 @@ object OracleSql {
 
   private val tokenRegex = "[\\pL\\pN_]+" // Dedup.tokens word class (RE2 form)
 
+  /** Generic word n-gram shingle CTE chain over `src` (must expose
+    * id, text): replicates [[graft.dedup.Dedup.shingles]](text, n) —
+    * lag-chained splitmix64 window folds for docs with ≥ n words, bare
+    * word hashes otherwise, DISTINCT per id. The n=3 instance is the
+    * same chain [[minhashSketchCtes]] unrolls by hand. Returns
+    * (block, cte); cte exposes (id, sh).
+    */
+  private def shingleCtes(src: String, n: Int, p: String): (String, String) = {
+    require(n >= 1)
+    val seed = s"CAST('${u(0x2545f4914f6cdd1dL)}' AS HUGEINT)"
+    val (whBlock, whCte) = wordHashCtes(s"${p}tk", Seq("id", "nw", "pos"), s"${p}W")
+    val sb = new StringBuilder
+    sb ++= s"${p}t0 AS (SELECT id, regexp_extract_all(lower(text), '$tokenRegex') AS ws FROM $src), "
+    sb ++= s"${p}tk AS (SELECT id, len(ws) AS nw, unnest(ws) AS w, " +
+      s"unnest(range(1, len(ws) + 1)) AS pos FROM ${p}t0 WHERE len(ws) > 0), "
+    sb ++= whBlock
+    var prev = whCte
+    (1 to n).foreach { j =>
+      val in = if (j == 1) s"xor($seed, wh)" else s"xor(${p}p${j - 1}, wh)"
+      sb ++= s", ${p}g$j AS (SELECT id, nw, pos, wh, ${mixCols(s"${p}x$j", in, s"${p}c$j")} FROM $prev)"
+      if (j < n) {
+        sb ++= s", ${p}l$j AS (SELECT id, nw, pos, wh, " +
+          s"lag(${p}c$j) OVER (PARTITION BY id ORDER BY pos) AS ${p}p$j FROM ${p}g$j)"
+        prev = s"${p}l$j"
+      } else prev = s"${p}g$j"
+    }
+    sb ++= s", ${p}sh AS (SELECT DISTINCT id, CASE WHEN nw >= $n THEN ${p}c$n ELSE wh END AS sh " +
+      s"FROM $prev WHERE (nw >= $n AND pos >= $n) OR nw < $n)"
+    (sb.toString, s"${p}sh")
+  }
+
+  /** Full SQL replication of [[graft.dedup.Dedup.decontaminate]] over
+    * `documents` with the deterministic held-out benchmark
+    * doc_id % benchMod = 0: per-doc distinct word n-gram hashes,
+    * semi-joined against the benchmark's distinct gram set, counted.
+    */
+  def decontaminateSql(n: Int = 8, benchMod: Int = 97, minHits: Int = 1): String = {
+    val (cBlock, cSh) = shingleCtes("(SELECT doc_id AS id, text FROM documents)", n, "DC")
+    val (bBlock, bSh) = shingleCtes(
+      s"(SELECT doc_id AS id, text FROM documents WHERE doc_id % $benchMod = 0)", n, "DB")
+    s"WITH $cBlock, $bBlock, " +
+      s"DCbg AS (SELECT DISTINCT sh FROM $bSh), " +
+      s"DChits AS (SELECT c.id, count(*) AS contaminated_grams FROM $cSh c " +
+      "JOIN DCbg USING (sh) GROUP BY c.id) " +
+      "SELECT d.doc_id AS id, COALESCE(h.contaminated_grams, 0) AS contaminated_grams, " +
+      s"COALESCE(h.contaminated_grams, 0) >= $minHits AS is_contaminated " +
+      "FROM documents d LEFT JOIN DChits h ON h.id = d.doc_id ORDER BY d.doc_id"
+  }
+
+  /** Full SQL replication of [[graft.sample.Sampling.stratifiedQuota]]
+    * over `documents` (strata = source, key = mix(fnv(doc_id text))).
+    */
+  def sampleStratifiedSql(quota: Int): String = {
+    val (whBlock, whCte) = wordHashCtes("SQsrc", Seq("id", "strata"), "SQ")
+    s"WITH SQsrc AS (SELECT doc_id AS id, source AS strata, " +
+      "CAST(doc_id AS VARCHAR) AS w FROM documents), " +
+      s"$whBlock, " +
+      s"SQrk AS (SELECT id, strata, row_number() OVER (PARTITION BY strata " +
+      s"ORDER BY ${toSigned("wh")}, id) AS rnk FROM $whCte) " +
+      "SELECT id AS doc_id, strata AS source, CAST(rnk AS INTEGER) AS sample_rank " +
+      s"FROM SQrk WHERE rnk <= $quota ORDER BY source, sample_rank"
+  }
+
+  /** Full SQL replication of
+    * [[graft.sample.Sampling.stratifiedFraction]]: keep iff the
+    * unsigned sampling key &lt; fraction · 2^64 (exact HUGEINT compare).
+    */
+  def sampleFractionSql(fractions: Map[String, Double], default: Double): String = {
+    val vals = fractions.map { case (s, f) =>
+      s"('${s.replace("'", "''")}', CAST('${graft.sample.Sampling.thresholdSqlOf(f)}' AS HUGEINT))"
+    }.mkString(", ")
+    val dflt = s"CAST('${graft.sample.Sampling.thresholdSqlOf(default)}' AS HUGEINT)"
+    val frTable = if (fractions.isEmpty) "" else
+      s"SFfr AS (SELECT c0 AS strata, c1 AS thr FROM (VALUES $vals) v(c0, c1)), "
+    val (whBlock, whCte) = wordHashCtes("SFsrc", Seq("id", "strata"), "SF")
+    s"WITH SFsrc AS (SELECT doc_id AS id, source AS strata, " +
+      "CAST(doc_id AS VARCHAR) AS w FROM documents), " +
+      s"$whBlock, $frTable" +
+      s"SFkeep AS (SELECT t.id, t.strata FROM $whCte t " +
+      (if (fractions.isEmpty) "" else "LEFT JOIN SFfr f ON f.strata = t.strata ") +
+      s"WHERE ${toU("wh")} < ${if (fractions.isEmpty) dflt else s"COALESCE(f.thr, $dflt)"}) " +
+      "SELECT id AS doc_id, strata AS source FROM SFkeep ORDER BY doc_id"
+  }
+
   /** Full SQL replication of [[graft.dedup.Dedup.simhashNearDups]]
     * over `documents` — the LSH BUCKET STRUCTURE itself under the
     * oracle (not a jaccard-threshold proxy): 64-bit SimHash from

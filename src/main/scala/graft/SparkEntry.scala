@@ -66,6 +66,14 @@ object SparkEntry {
         (F.size(F.split(F.col("text"), " ", -1)) >= 50).as("keep"))
   }
 
+  /** sample_fraction per-source keep fractions — ONE definition for
+    * the query and the oracle (which ships them as exact 2^64
+    * thresholds): a boosted source, a dropped source, a keep-all
+    * source, everything else on the 0.2 default.
+    */
+  private val sampleFractions: Map[String, Double] =
+    Map("src0" -> 0.5, "src1" -> 0.0, "src2" -> 1.0)
+
   /** multimodal_features_raw input media — ONE definition consumed by
     * both the query and the oracle SQL (which embeds these exact bytes
     * as VALUES) so they cannot drift. Dims/durations stay small so the
@@ -709,6 +717,35 @@ object SparkEntry {
       Dedup.ngramJaccardPrefix(t, "id", "text", n = 3, threshold = 0.5)
         .withColumn("jaccard", r6(F.col("jaccard")))
         .orderBy("id_a", "id_b")
+    }),
+    "decontaminate" -> ((s, dir) => {
+      // benchmark decontamination (GPT-3 appendix C style): the
+      // held-out set is the deterministic doc_id % 97 == 0 slice, so
+      // the oracle sees the same benchmark; 8-gram overlap counts
+      // DuckDB-oracled via the generic shingle CTE chain
+      val docs = tbl(s, dir, "documents")
+      Dedup.decontaminate(docs, "doc_id", "text",
+          docs.filter(F.col("doc_id") % 97 === 0), "text")
+        .orderBy("id")
+    }),
+    "sample_stratified" -> ((s, dir) => {
+      // deterministic exactly-k-per-source sample (domain mixing);
+      // the sampling key is mix(fnv(id)) so the oracle replays rank
+      // and membership bit-exactly
+      graft.sample.Sampling.stratifiedQuota(
+          tbl(s, dir, "documents"), "source", "doc_id", 10)
+        .select("doc_id", "source", "sample_rank")
+        .orderBy("source", "sample_rank")
+    }),
+    "sample_fraction" -> ((s, dir) => {
+      // map-only per-source Bernoulli-style sampling with NO rng:
+      // keep iff key < fraction·2^64 (unsigned, exact) — stable under
+      // repartitioning, replayed in SQL as a HUGEINT compare
+      graft.sample.Sampling.stratifiedFraction(
+          tbl(s, dir, "documents"), "source", "doc_id",
+          sampleFractions, 0.2)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     }),
     "dedup_components" -> ((s, dir) => {
       // DuckDB-oracled via a RECURSIVE CTE computing the transitive
@@ -1432,6 +1469,11 @@ object SparkEntry {
       ("dedup_embedding" -> OracleSql.embeddingDedupSql()) +
       ("ann_lsh" -> OracleSql.annLshSql()) +
       ("ann_batch_lsh" -> OracleSql.annBatchLshSql()) +
+      // benchmark decontamination + deterministic sampling (all three
+      // replay the mix(fnv(·)) key chain the dedup oracles share)
+      ("decontaminate" -> OracleSql.decontaminateSql()) +
+      ("sample_stratified" -> OracleSql.sampleStratifiedSql(10)) +
+      ("sample_fraction" -> OracleSql.sampleFractionSql(sampleFractions, 0.2)) +
       // the C2 greedy-packing chunker as a string-encoded SQL fold
       ("chunk_documents" -> OracleSql.chunkSql()) +
       // media METADATA path over the exact synthMedia bytes (hex

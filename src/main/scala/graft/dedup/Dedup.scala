@@ -708,4 +708,47 @@ object Dedup extends Serializable {
       .unionByName(cur.select(F.col("v").as("id"), F.col("v").as("comp")))
       .groupBy("id").agg(F.min("comp").as("comp"))
   }
+
+  /** Benchmark decontamination — the test-set overlap scrub every LLM
+    * training pipeline runs before training (GPT-3 appendix C / The
+    * Pile style): flag corpus docs sharing ≥ `minHits` word n-grams
+    * with ANY benchmark document. Output has one row per corpus doc:
+    * (id, contaminated_grams, is_contaminated).
+    *
+    * Plan shape: the benchmark's distinct gram-hash set is tiny next
+    * to a 10^12-row corpus, so it BROADCASTS and the whole operator is
+    * a map-side semi-join + one partial-aggregating groupBy on doc id
+    * — the corpus text is sketched once and never shuffled (only
+    * (id, gram) longs reach the exchange). Set `broadcastBench =
+    * false` for a pathological benchmark too large to broadcast
+    * (falls back to a shuffle hash join on the gram hash).
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      shingleSize: Int = 8,
+      minHits: Int = 1,
+      broadcastBench: Boolean = true
+  ): DataFrame = {
+    val gramU = F.udf((t: String) => shingles(t, shingleSize))
+    val benchGrams = {
+      val g = bench.select(F.explode(gramU(F.col(benchTextCol))).as("g")).distinct()
+      if (broadcastBench) F.broadcast(g) else g
+    }
+    // shingles() returns the DISTINCT gram set per doc, so the join
+    // count is the distinct-contaminated-gram count directly
+    val hits = corpus
+      .filter(hasTokensCol(F.col(textCol)))
+      .select(F.col(idCol).as("id"), F.explode(gramU(F.col(textCol))).as("g"))
+      .join(benchGrams, Seq("g"))
+      .groupBy("id")
+      .agg(F.count(F.lit(1)).as("contaminated_grams"))
+    corpus.select(F.col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .na.fill(0L, Seq("contaminated_grams"))
+      .withColumn("is_contaminated", F.col("contaminated_grams") >= minHits)
+  }
 }

@@ -1,0 +1,93 @@
+package graft.sample
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+import graft.dedup.Dedup
+
+/** Deterministic corpus sampling — the domain-mixing step of a
+  * training-data pipeline (choose how much of each source/domain/
+  * language enters the training mix). Both variants key on
+  * `mix(fnv(id))` rather than RNG state, so a sample is (a)
+  * reproducible run-to-run, (b) stable under repartitioning — the
+  * keep/drop decision is a pure row function, independent of
+  * partition layout or visit order (Spark's own df.sample is neither
+  * across different partitionings), and (c) replayable in plain SQL
+  * for the DuckDB oracle (the same splitmix64/FNV chain the dedup
+  * oracles already replicate).
+  *
+  * Scale shape: the FRACTION variant is map-only (a codegen'd filter,
+  * zero shuffle — the right default at 10^12 rows). The QUOTA variant
+  * needs exactly-k per stratum, so it pays one shuffle + per-stratum
+  * sort (row_number window); a hot stratum sorts on one task — at
+  * extreme skew prefer the fraction variant or pre-aggregate a
+  * threshold key (documented trade, same as any exact top-k).
+  */
+object Sampling {
+
+  /** The sampling key: splitmix64-mixed FNV of the id's string form —
+    * uniform in [0, 2^64), compared UNSIGNED.
+    */
+  private def keyUdf = F.udf((s: String) => Dedup.wordHash64(s))
+
+  /** Exactly `quota` rows per stratum: the quota smallest sampling
+    * keys (ties broken by id), rank exposed as `sample_rank`.
+    */
+  def stratifiedQuota(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      quota: Int
+  ): DataFrame = {
+    require(quota > 0)
+    val w = Window.partitionBy(F.col(strataCol))
+      .orderBy(F.col("__sk"), F.col(idCol))
+    df.withColumn("__sk", keyUdf(F.col(idCol).cast("string")))
+      .withColumn("sample_rank", F.row_number().over(w))
+      .filter(F.col("sample_rank") <= quota)
+      .drop("__sk")
+  }
+
+  /** Per-stratum Bernoulli-style sampling WITHOUT randomness: keep a
+    * row iff its key < fraction · 2^64 (unsigned compare — exact, no
+    * float in the decision). Map-only: no shuffle, no state; the same
+    * row is kept in every run and on every partitioning.
+    */
+  def stratifiedFraction(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double
+  ): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1))
+    val thresholds: Map[String, Long] =
+      fractions.view.mapValues(thresholdOf).toMap
+    val dflt = thresholdOf(defaultFraction)
+    val keepU = F.udf { (strata: String, idStr: String) =>
+      val t = thresholds.getOrElse(strata, dflt)
+      val k = Dedup.wordHash64(idStr)
+      // t == -1 encodes fraction 1.0 (keep all); unsigned k < t otherwise
+      t == -1L || java.lang.Long.compareUnsigned(k, t) < 0
+    }
+    df.filter(keepU(F.col(strataCol), F.col(idCol).cast("string")))
+  }
+
+  /** fraction → unsigned 2^64 threshold (exact integer arithmetic on
+    * the BigDecimal fraction; 1.0 → the keep-all sentinel -1).
+    */
+  def thresholdOf(fraction: Double): Long = {
+    if (fraction >= 1.0) return -1L
+    val t = new java.math.BigDecimal(fraction)
+      .multiply(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64)))
+      .toBigInteger
+    t.longValue() // wraps to the unsigned-comparable Long
+  }
+
+  /** Unsigned HUGEINT threshold string for the SQL oracle. */
+  def thresholdSqlOf(fraction: Double): String =
+    if (fraction >= 1.0) java.math.BigInteger.ONE.shiftLeft(64).toString
+    else new java.math.BigDecimal(fraction)
+      .multiply(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64)))
+      .toBigInteger.toString
+}
