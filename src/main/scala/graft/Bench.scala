@@ -40,7 +40,8 @@ object Bench {
     "ann_lsh", "ann_ivf", "ann_ivf_indexed", "ann_batch_lsh",
     "langid_documents", "quality_score", "fingerprint", "chunk_documents",
     "html_extract", "perplexity_turns",
-    "multimodal_features", "curate_cheap", "curate_transcripts")
+    "multimodal_features", "curate_cheap", "curate_transcripts",
+    "decontaminate", "sample_fraction")
 
   /** Queries whose single-run variance was flagged in round 1 — min-of-3. */
   private val tripleRep = Set("dedup_conversations")

@@ -307,6 +307,40 @@ object OracleSql {
       "FROM documents d LEFT JOIN DChits h ON h.id = d.doc_id ORDER BY d.doc_id"
   }
 
+  /** Full SQL replication of [[graft.sample.Sampling.packGreedy]]
+    * over `documents` (strata = source, order = doc_id, tokens =
+    * word-class token count, same class the engine's Dedup.tokens
+    * splits on): the greedy close-when-exceeding fold replays as a
+    * string-encoded list_reduce per stratum — state "i|a|p|payload"
+    * (shard idx, tokens in shard, pos in shard, emitted rows), the
+    * same technique as [[chunkSql]].
+    */
+  def packShardsSql(budget: Long): String = {
+    def st(i: Int) = s"split_part(s, '|', $i)"
+    val iV = s"CAST(${st(1)} AS BIGINT)"
+    val aV = s"CAST(${st(2)} AS BIGINT)"
+    val pV = s"CAST(${st(3)} AS BIGINT)"
+    val xo = "split_part(x, ',', 1)" // ord (kept as text)
+    val xt = s"CAST(split_part(x, ',', 2) AS BIGINT)"
+    val newShard =
+      s"CAST($iV + 1 AS VARCHAR) || '|' || CAST($xt AS VARCHAR) || '|0|' || ${st(4)} || " +
+        s"$xo || ':' || CAST($iV + 1 AS VARCHAR) || ':0;'"
+    val sameShard =
+      s"${st(1)} || '|' || CAST($aV + $xt AS VARCHAR) || '|' || CAST($pV + 1 AS VARCHAR) || '|' || " +
+        s"${st(4)} || $xo || ':' || ${st(1)} || ':' || CAST($pV + 1 AS VARCHAR) || ';'"
+    val lambda = s"CASE WHEN $aV > 0 AND $aV + $xt > $budget THEN $newShard ELSE $sameShard END"
+    "WITH pk0 AS (SELECT source AS strata, doc_id AS o, " +
+      s"CAST(len(regexp_extract_all(lower(text), '$tokenRegex')) AS BIGINT) AS t FROM documents), " +
+      "pkl AS (SELECT strata, list(CAST(o AS VARCHAR) || ',' || CAST(t AS VARCHAR) ORDER BY o) AS xs " +
+      "FROM pk0 GROUP BY strata), " +
+      s"pkf AS (SELECT strata, list_reduce(list_prepend('0|0|-1|', xs), (s, x) -> $lambda) AS fin FROM pkl), " +
+      "pke AS (SELECT strata, unnest(list_filter(string_split(split_part(fin, '|', 4), ';'), e -> e <> '')) AS e FROM pkf) " +
+      "SELECT CAST(split_part(e, ':', 1) AS BIGINT) AS doc_id, strata AS source, " +
+      "CAST(split_part(e, ':', 2) AS BIGINT) AS shard_idx, " +
+      "CAST(split_part(e, ':', 3) AS INTEGER) AS shard_pos " +
+      "FROM pke ORDER BY source, doc_id"
+  }
+
   /** Full SQL replication of [[graft.sample.Sampling.stratifiedQuota]]
     * over `documents` (strata = source, key = mix(fnv(doc_id text))).
     */

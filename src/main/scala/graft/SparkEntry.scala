@@ -737,6 +737,17 @@ object SparkEntry {
         .select("doc_id", "source", "sample_rank")
         .orderBy("source", "sample_rank")
     }),
+    "pack_shards" -> ((s, dir) => {
+      // greedy training-shard assembly per source: close a shard when
+      // the next doc's word tokens would exceed the 1000-token budget;
+      // the per-stratum fold replays in DuckDB as a string-encoded
+      // list_reduce, so shard ids and positions are value-compared
+      val tokU = F.udf((t: String) => Dedup.tokens(t).length.toLong)
+      graft.sample.Sampling.packGreedy(
+          tbl(s, dir, "documents").withColumn("toks", tokU(F.col("text"))),
+          "source", "doc_id", "toks", budgetTokens = 1000L)
+        .orderBy("source", "doc_id")
+    }),
     "sample_fraction" -> ((s, dir) => {
       // map-only per-source Bernoulli-style sampling with NO rng:
       // keep iff key < fraction·2^64 (unsigned, exact) — stable under
@@ -1474,6 +1485,7 @@ object SparkEntry {
       ("decontaminate" -> OracleSql.decontaminateSql()) +
       ("sample_stratified" -> OracleSql.sampleStratifiedSql(10)) +
       ("sample_fraction" -> OracleSql.sampleFractionSql(sampleFractions, 0.2)) +
+      ("pack_shards" -> OracleSql.packShardsSql(1000L)) +
       // the C2 greedy-packing chunker as a string-encoded SQL fold
       ("chunk_documents" -> OracleSql.chunkSql()) +
       // media METADATA path over the exact synthMedia bytes (hex

@@ -73,6 +73,53 @@ object Sampling {
     df.filter(keepU(F.col(strataCol), F.col(idCol).cast("string")))
   }
 
+  /** Greedy sequence packing — the training-shard assembly step:
+    * within each stratum, walk rows in `orderCol` order and start a
+    * new shard whenever adding the next row's tokens would exceed
+    * `budgetTokens` (a single oversized row gets a shard of its own).
+    * Returns (strataCol, orderCol, shard_idx, shard_pos) for a
+    * join-back by the caller; shard identity = (stratum, shard_idx).
+    *
+    * Scale shape: packing is a sequential fold by definition, so it
+    * parallelizes ACROSS strata, not within one — rows repartition by
+    * stratum, sort within partitions, and fold in one pass
+    * (mapPartitions, the documented exception for genuinely
+    * per-partition-imperative logic). A single 10^12-row stratum would
+    * serialize; shard at a finer stratum (source × day) in that case.
+    */
+  def packGreedy(
+      df: DataFrame,
+      strataCol: String,
+      orderCol: String,
+      tokenCol: String,
+      budgetTokens: Long
+  ): DataFrame = {
+    require(budgetTokens > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        F.col(strataCol).cast("string").as("strata"),
+        F.col(orderCol).cast("long").as("ord"),
+        F.col(tokenCol).cast("long").as("toks"))
+      .as[(String, Long, Long)]
+      .repartition(F.col("strata"))
+      .sortWithinPartitions("strata", "ord")
+      .mapPartitions { it =>
+        var cur: String = null
+        var shard = 0L
+        var acc = 0L
+        var pos = -1
+        it.map { case (s, o, t) =>
+          if (s != cur) { cur = s; shard = 0L; acc = 0L; pos = -1 }
+          else if (acc > 0 && acc + t > budgetTokens) { shard += 1; acc = 0L; pos = -1 }
+          acc += t
+          pos += 1
+          (s, o, shard, pos)
+        }
+      }
+      .toDF(strataCol, orderCol, "shard_idx", "shard_pos")
+  }
+
   /** fraction → unsigned 2^64 threshold (exact integer arithmetic on
     * the BigDecimal fraction; 1.0 → the keep-all sentinel -1).
     */

@@ -58,6 +58,45 @@ class SamplingSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"fraction sample shuffled:\n$plan")
   }
 
+  test("packGreedy: per-stratum greedy shards match a sequential fold oracle") {
+    // tokens chosen to exercise: exact fits, overflow closes, a single
+    // oversized row (own shard), strata resets
+    val rows = Seq(
+      ("a", 0L, 40L), ("a", 1L, 60L),  // fills shard 0 exactly (budget 100)
+      ("a", 2L, 10L), ("a", 3L, 95L),  // 10 opens shard 1; 95 overflows → shard 2
+      ("a", 4L, 250L),                 // oversized → shard 3 alone
+      ("a", 5L, 1L),                   // 250 already > budget → shard 4
+      ("b", 0L, 30L), ("b", 1L, 30L), ("b", 2L, 30L), ("b", 3L, 30L))
+      .toDF("source", "id", "toks")
+    val got = Sampling.packGreedy(rows, "source", "id", "toks", 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    // sequential oracle
+    var expect = Map.empty[(String, Long), (Long, Int)]
+    rows.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+      .foldLeft(("", 0L, 0L, -1)) { case ((cs, shard, acc, pos), (s, o, t)) =>
+        val (s2, sh2, acc2, pos2) =
+          if (s != cs) (s, 0L, t, 0)
+          else if (acc > 0 && acc + t > 100L) (s, shard + 1, t, 0)
+          else (s, shard, acc + t, pos + 1)
+        expect += (s, o) -> ((sh2, pos2))
+        (s2, sh2, acc2, pos2)
+      }
+    assert(got == expect)
+    // spot-check the interesting assignments
+    assert(got(("a", 3L)) == ((2L, 0)))
+    assert(got(("a", 4L)) == ((3L, 0))) // oversized row isolated
+    assert(got(("a", 5L)) == ((4L, 0)))
+    assert(got(("b", 3L)) == ((1L, 0))) // 30·3=90 fits, 4th opens shard 1
+    // partition-invariant
+    val again = Sampling.packGreedy(rows.repartition(7, col("toks")),
+      "source", "id", "toks", 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    assert(again == got)
+  }
+
   test("decontaminate: flags exactly the docs sharing n-grams with the benchmark") {
     // benchmark = 2 docs; plant one corpus doc embedding an exact
     // 8-gram from a benchmark doc, one with a 7-gram near miss
