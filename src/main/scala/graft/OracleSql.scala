@@ -341,6 +341,31 @@ object OracleSql {
       "FROM pke ORDER BY source, doc_id"
   }
 
+  /** Full SQL replication of
+    * [[graft.ml.QualityClassifier.scoreDf]] over `documents`: the five
+    * rational features recomputed from the text, the trained weights
+    * embedded as exact 17-digit double literals (same dyadic-parse
+    * technique as [[embPlanesCtes]]), the logit as the engine's exact
+    * left-to-right fixed-order dot — bit-identical doubles, decision
+    * logit &gt; 0 with no transcendental anywhere.
+    */
+  def qualityClassifierSql(model: graft.ml.QualityClassifier.Model): String = {
+    val w = model.weights.map(x => s"CAST('${d17(x)}' AS DOUBLE)")
+    val dot = s"(((((0.0 + ${w(0)} * 1.0) + ${w(1)} * f1) + ${w(2)} * f2) + " +
+      s"${w(3)} * f3) + ${w(4)} * f4)"
+    s"WITH qc0 AS (SELECT doc_id AS id, " +
+      s"regexp_extract_all(lower(text), '$tokenRegex') AS toks, " +
+      "length(text) AS cp, " + // code points — matches codePointCount
+      """len(regexp_extract_all(text, '[^\pL\pN\s]')) AS sym FROM documents), """ +
+      "qcf AS (SELECT id, " +
+      "CAST(least(len(toks), 256) AS DOUBLE) / 256.0 AS f1, " +
+      "CASE WHEN cp = 0 THEN 0.0 ELSE CAST(sym AS DOUBLE) / cp END AS f2, " +
+      "CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS f3, " +
+      "CASE WHEN len(toks) = 0 THEN 0.0 ELSE least(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 16.0) / 16.0 END AS f4 " +
+      "FROM qc0) " +
+      s"SELECT id, $dot AS logit, $dot > 0.0 AS predicted_keep FROM qcf ORDER BY id"
+  }
+
   /** Full SQL replication of [[graft.sample.Sampling.stratifiedQuota]]
     * over `documents` (strata = source, key = mix(fnv(doc_id text))).
     */

@@ -737,6 +737,16 @@ object SparkEntry {
         .select("doc_id", "source", "sample_rank")
         .orderBy("source", "sample_rank")
     }),
+    "quality_classifier" -> ((s, dir) => {
+      // learned quality scorer (logistic regression, deterministic
+      // driver-side training on the fixed synthetic labeled set):
+      // scoring is map-only; the logit is a fixed-order dot of exact
+      // doubles, so the oracle replays it bit-identically (the
+      // decision logit > 0 needs no sigmoid)
+      graft.ml.QualityClassifier.scoreDf(
+          tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")
+    }),
     "pack_shards" -> ((s, dir) => {
       // greedy training-shard assembly per source: close a shard when
       // the next doc's word tokens would exceed the 1000-token budget;
@@ -1486,6 +1496,8 @@ object SparkEntry {
       ("sample_stratified" -> OracleSql.sampleStratifiedSql(10)) +
       ("sample_fraction" -> OracleSql.sampleFractionSql(sampleFractions, 0.2)) +
       ("pack_shards" -> OracleSql.packShardsSql(1000L)) +
+      ("quality_classifier" -> OracleSql.qualityClassifierSql(
+        graft.ml.QualityClassifier.defaultModel)) +
       // the C2 greedy-packing chunker as a string-encoded SQL fold
       ("chunk_documents" -> OracleSql.chunkSql()) +
       // media METADATA path over the exact synthMedia bytes (hex
