@@ -341,6 +341,38 @@ object OracleSql {
       "FROM pke ORDER BY source, doc_id"
   }
 
+  /** Full SQL replication of [[graft.dedup.Dedup.lineDedup]] over the
+    * derived multi-line docs the `dedup_lines` query constructs from
+    * `documents`: line split with positions, lower(trim) matching,
+    * per-line corpus df + first occurrence (window here — the oracle
+    * runs at small scale; the ENGINE uses the two-phase min), the
+    * keep decision (unique / first-wins / boilerplate df >= minDf),
+    * blank structural lines kept, ordered reassembly.
+    */
+  def lineDedupSql(minDf: Long): String = {
+    "WITH ld0 AS (SELECT doc_id AS id, " +
+      "'title ' || CAST(doc_id % 40 AS VARCHAR) || chr(10) || " +
+      "replace(text, chr(10), ' ') || chr(10) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN '' ELSE 'footer ' || CAST(doc_id % 7 AS VARCHAR) END) || chr(10) || " +
+      "'shared ' || CAST(doc_id % 200 AS VARCHAR) || chr(10) || " +
+      "'unique line ' || CAST(doc_id AS VARCHAR) AS t FROM documents), " +
+      "ldl AS (SELECT id, string_split(t, chr(10)) AS ls FROM ld0), " +
+      "ll AS (SELECT id, unnest(range(0, len(ls))) AS pos, unnest(ls) AS line FROM ldl), " +
+      "ln AS (SELECT id, pos, line, lower(trim(line)) AS norm FROM ll), " +
+      "lc AS (SELECT id, pos, line, " +
+      "count(*) OVER (PARTITION BY norm) AS df, " +
+      "row_number() OVER (PARTITION BY norm ORDER BY id, pos) AS rn " +
+      "FROM ln WHERE norm <> ''), " +
+      s"lk AS (SELECT id, pos, line FROM lc WHERE df < $minDf AND (df = 1 OR rn = 1) " +
+      "UNION ALL SELECT id, pos, line FROM ln WHERE norm = ''), " +
+      "lagg AS (SELECT id, string_agg(line, chr(10) ORDER BY pos) AS text, " +
+      "count(*) AS n_kept FROM lk GROUP BY id), " +
+      "ltot AS (SELECT id, count(*) AS n_lines FROM ll GROUP BY id) " +
+      "SELECT t.id, coalesce(a.text, '') AS text, t.n_lines, " +
+      "coalesce(a.n_kept, 0) AS n_kept " +
+      "FROM ltot t LEFT JOIN lagg a USING (id) ORDER BY t.id"
+  }
+
   /** Full SQL replication of
     * [[graft.ml.QualityClassifier.scoreDf]] over `documents`: the five
     * rational features recomputed from the text, the trained weights

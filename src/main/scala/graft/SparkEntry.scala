@@ -718,6 +718,27 @@ object SparkEntry {
         .withColumn("jaccard", r6(F.col("jaccard")))
         .orderBy("id_a", "id_b")
     }),
+    "dedup_lines" -> ((s, dir) => {
+      // CCNet/C4-style line-level dedup: a deterministic multi-line
+      // doc is derived from each documents row so every decision
+      // branch is live at every sf — 'title k' (df ~ n/40, boilerplate
+      // at df>=10), the flattened natural text (mostly unique),
+      // a blank structural line every 5th doc, 'footer k' (df ~ n/7,
+      // boilerplate), 'shared k' (df ~ n/200 < 10: first-wins branch),
+      // and a per-doc unique line
+      val d = tbl(s, dir, "documents").select(
+        F.col("doc_id").as("id"),
+        F.concat_ws("\n",
+          F.concat(F.lit("title "), (F.col("doc_id") % 40).cast("string")),
+          F.regexp_replace(F.col("text"), "\n", " "),
+          F.when(F.col("doc_id") % 5 === 0, F.lit(""))
+            .otherwise(F.concat(F.lit("footer "), (F.col("doc_id") % 7).cast("string"))),
+          F.concat(F.lit("shared "), (F.col("doc_id") % 200).cast("string")),
+          F.concat(F.lit("unique line "), F.col("doc_id").cast("string"))
+        ).as("text"))
+      Dedup.lineDedup(d, "id", "text", boilerplateMinDf = 10L)
+        .orderBy("id")
+    }),
     "decontaminate" -> ((s, dir) => {
       // benchmark decontamination (GPT-3 appendix C style): the
       // held-out set is the deterministic doc_id % 97 == 0 slice, so
@@ -1492,6 +1513,7 @@ object SparkEntry {
       ("ann_batch_lsh" -> OracleSql.annBatchLshSql()) +
       // benchmark decontamination + deterministic sampling (all three
       // replay the mix(fnv(·)) key chain the dedup oracles share)
+      ("dedup_lines" -> OracleSql.lineDedupSql(10L)) +
       ("decontaminate" -> OracleSql.decontaminateSql()) +
       ("sample_stratified" -> OracleSql.sampleStratifiedSql(10)) +
       ("sample_fraction" -> OracleSql.sampleFractionSql(sampleFractions, 0.2)) +

@@ -751,4 +751,74 @@ object Dedup extends Serializable {
       .na.fill(0L, Seq("contaminated_grams"))
       .withColumn("is_contaminated", F.col("contaminated_grams") >= minHits)
   }
+
+  /** Line-level corpus dedup (CCNet / C4 style): web text repeats whole
+    * LINES across documents (nav bars, cookie banners, footers) far
+    * more than whole documents, so curation pipelines dedup at line
+    * granularity BEFORE doc-level near-dup. Semantics per non-blank
+    * line (matching on lower(trim(line))):
+    *   - corpus line frequency == 1           → kept;
+    *   - duplicated, df <  `boilerplateMinDf` → FIRST occurrence kept
+    *     (global (id, pos) order — the repo-wide first-wins doctrine),
+    *     the rest removed;
+    *   - duplicated, df >= `boilerplateMinDf` → boilerplate: removed
+    *     EVERYWHERE including the first occurrence (CCNet's repeated-
+    *     line scrub).
+    * Blank/whitespace-only lines are document structure, kept as-is.
+    * Survivors reassemble in original order; a doc whose every content
+    * line was removed survives with the blank skeleton (possibly "").
+    *
+    * Plan shape at 10^12 rows: NO window over the line key — a hot
+    * boilerplate line ("subscribe to our newsletter") can occur 10^8
+    * times and a `row_number() over (partition by line)` would sort all
+    * of them on one task. Instead per-line stats are a map-side-partial
+    * `groupBy(h).agg(min(struct(id, pos)), count)` — one row per
+    * DISTINCT line survives the exchange — joined back shuffle-hash.
+    * Only (md5, id, pos) scalars reach the stats exchange; the line
+    * text itself shuffles once into the per-doc reassembly (unavoidable
+    * — it IS the output). Reassembly state is one document's lines
+    * (same bound as conversation reassembly, R3).
+    *
+    * Output: (id, text, n_lines, n_kept).
+    */
+  def lineDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      boilerplateMinDf: Long = Long.MaxValue
+  ): DataFrame = {
+    val lines = docs
+      .select(F.col(idCol).as("id"),
+        F.posexplode(F.split(F.coalesce(F.col(textCol), F.lit("")), "\n", -1))
+          .as(Seq("pos", "line")))
+      .withColumn("norm", F.lower(F.trim(F.col("line"))))
+    val content = lines.filter(F.col("norm") =!= "")
+      .withColumn("h", F.md5(F.col("norm")))
+    // two-phase first-occurrence + df: one row per distinct line
+    val stats = content.groupBy("h")
+      .agg(F.min(F.struct(F.col("id"), F.col("pos"))).as("first"),
+        F.count(F.lit(1)).as("df"))
+    val keptContent = content
+      .join(stats.hint("shuffle_hash"), Seq("h"))
+      .filter(F.col("df") < boilerplateMinDf &&
+        (F.col("df") === 1 ||
+          (F.col("first.id") === F.col("id") && F.col("first.pos") === F.col("pos"))))
+      .select("id", "pos", "line")
+    val survivors = keptContent
+      .unionByName(lines.filter(F.col("norm") === "").select("id", "pos", "line"))
+    val reassembled = survivors.groupBy("id")
+      .agg(
+        F.array_join(
+          F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line")))),
+            x => x.getField("line")),
+          "\n").as("text"),
+        F.count(F.lit(1)).as("n_kept"))
+    val totals = lines.groupBy("id").agg(F.count(F.lit(1)).as("n_lines"))
+    totals.join(reassembled, Seq("id"), "left")
+      .select(F.col("id"),
+        F.coalesce(F.col("text"), F.lit("")).as("text"),
+        F.col("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0L)).as("n_kept"))
+  }
 }
