@@ -41,7 +41,8 @@ object Bench {
     "langid_documents", "quality_score", "fingerprint", "chunk_documents",
     "html_extract", "perplexity_turns",
     "multimodal_features", "curate_cheap", "curate_transcripts",
-    "decontaminate", "sample_fraction", "dedup_lines", "quality_classifier")
+    "decontaminate", "sample_fraction", "dedup_lines", "quality_classifier",
+    "cms_word_counts")
 
   /** Queries whose single-run variance was flagged in round 1 — min-of-3. */
   private val tripleRep = Set("dedup_conversations")

@@ -341,6 +341,65 @@ object OracleSql {
       "FROM pke ORDER BY source, doc_id"
   }
 
+  /** Full SQL replication of [[graft.functions.CountMinAgg]] over
+    * `documents` grouped by source, probed for `probes`: every token
+    * occurrence's four sketch buckets recomputed in HUGEINT
+    * (wordHash64 + per-row seeded splitmix64), per-(source, row,
+    * bucket) counters as plain integer counts, estimate = least over
+    * rows. The probes' own buckets are precomputed in Scala and
+    * embedded as VALUES — integer arithmetic end to end, no ordering
+    * sensitivity anywhere.
+    */
+  def cmsWordCountsSql(probes: Seq[String]): String = {
+    import graft.functions.CountMinAgg
+    val d = CountMinAgg.DEPTH
+    val w = CountMinAgg.WIDTH
+    val pvals = probes.map { p =>
+      val bs = (0 until d).map(j => CountMinAgg.bucket(p, j, w)).mkString(", ")
+      s"('${p.replace("'", "''")}', $bs)"
+    }.mkString(", ")
+    val bcols = (0 until d).map(j => s"b$j").mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"WITH cmsp(word, $bcols) AS (VALUES $pvals), "
+    sb ++= "cmt0 AS (SELECT source, " +
+      s"regexp_extract_all(lower(text), '$tokenRegex') AS ws FROM documents), "
+    sb ++= "cmtk AS (SELECT source, unnest(ws) AS w FROM cmt0 WHERE len(ws) > 0), "
+    val (whBlock, whCte) = wordHashCtes("cmtk", Seq("source"), "cmW")
+    sb ++= whBlock
+    var prev = whCte
+    var carry = Seq("source", "wh")
+    (0 until d).foreach { j =>
+      val (mb, mc) = mixCtes(prev, carry,
+        s"xor(wh, CAST('${u(CountMinAgg.seed(j))}' AS HUGEINT))", s"h$j", s"cmM$j")
+      sb ++= s", $mb"
+      prev = mc
+      carry = carry :+ s"h$j"
+    }
+    val bsel = (0 until d).map(j => s"(h$j % $w) AS b$j").mkString(", ")
+    sb ++= s", cmb AS (SELECT source, $bsel FROM $prev), "
+    sb ++= (0 until d).map(j =>
+      s"cmc$j AS (SELECT source, b$j AS b, count(*) AS c FROM cmb GROUP BY source, b$j)"
+    ).mkString(", ")
+    sb ++= ", cmsrc AS (SELECT DISTINCT source FROM documents), "
+    sb ++= "cmgrid AS (SELECT s.source, p.word, " +
+      (0 until d).map(j => s"p.b$j").mkString(", ") + " FROM cmsrc s CROSS JOIN cmsp p), "
+    sb ++= "cmgj AS (" +
+      (0 until d).map(j =>
+        s"SELECT source, word, $j AS j, b$j AS b FROM cmgrid").mkString(" UNION ALL ") + "), "
+    sb ++= "cmest AS (SELECT g.source, g.word, min(coalesce(c.c, 0)) AS cms_estimate " +
+      "FROM cmgj g LEFT JOIN (" +
+      (0 until d).map(j => s"SELECT source, $j AS j, b, c FROM cmc$j").mkString(" UNION ALL ") +
+      ") c ON g.source = c.source AND g.j = c.j AND g.b = c.b " +
+      "GROUP BY g.source, g.word), "
+    val inList = probes.map(p => s"'${p.replace("'", "''")}'").mkString(", ")
+    sb ++= s"cmex AS (SELECT source, w AS word, count(*) AS exact_count FROM cmtk " +
+      s"WHERE w IN ($inList) GROUP BY source, w) "
+    sb ++= "SELECT e.source, e.word, e.cms_estimate, coalesce(x.exact_count, 0) AS exact_count " +
+      "FROM cmest e LEFT JOIN cmex x ON e.source = x.source AND e.word = x.word " +
+      "ORDER BY e.source, e.word"
+    sb.toString
+  }
+
   /** Full SQL replication of [[graft.dedup.Dedup.lineDedup]] over the
     * derived multi-line docs the `dedup_lines` query constructs from
     * `documents`: line split with positions, lower(trim) matching,

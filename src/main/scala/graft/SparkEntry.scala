@@ -74,6 +74,12 @@ object SparkEntry {
   private val sampleFractions: Map[String, Double] =
     Map("src0" -> 0.5, "src1" -> 0.0, "src2" -> 1.0)
 
+  /** cms_word_counts probe words — ONE definition for the query and the
+    * oracle (which precomputes each probe's sketch buckets in Scala).
+    * Includes an absent word so collision-overestimates stay honest.
+    */
+  val cmsProbes: Seq[String] = Seq("the", "and", "data", "of", "to", "xyzzyq")
+
   /** multimodal_features_raw input media — ONE definition consumed by
     * both the query and the oracle SQL (which embeds these exact bytes
     * as VALUES) so they cannot drift. Dims/durations stay small so the
@@ -717,6 +723,35 @@ object SparkEntry {
       Dedup.ngramJaccardPrefix(t, "id", "text", n = 3, threshold = 0.5)
         .withColumn("jaccard", r6(F.col("jaccard")))
         .orderBy("id_a", "id_b")
+    }),
+    "cms_word_counts" -> ((s, dir) => {
+      // Count-Min sketch heavy-hitter estimates per source: one
+      // 4x1024 integer sketch per group (constant exchange payload no
+      // matter the vocabulary), probed for a fixed word list; the
+      // exact counts ride along so the oracle checks BOTH the sketch
+      // arithmetic (bit-exact integer adds, replayed bucket-for-bucket
+      // in SQL) and the estimate >= exact guarantee
+      import graft.functions.CountMinAgg
+      val docs = tbl(s, dir, "documents")
+      val sk = docs.groupBy("source")
+        .agg(CountMinAgg.count_min_agg(F.col("text")).as("sk"))
+      val estU = F.udf((sk: Seq[Long], w: String) =>
+        CountMinAgg.estimate(sk.toArray, w))
+      val est = sk.select(F.col("source"),
+          F.explode(F.array(cmsProbes.map(F.lit): _*)).as("word"),
+          F.col("sk"))
+        .withColumn("cms_estimate", estU(F.col("sk"), F.col("word")))
+        .drop("sk")
+      val tokU = F.udf((t: String) => Dedup.tokens(t))
+      val exact = docs
+        .select(F.col("source"), F.explode(tokU(F.col("text"))).as("word"))
+        .filter(F.col("word").isin(cmsProbes: _*))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).as("exact_count"))
+      est.join(exact, Seq("source", "word"), "left")
+        .na.fill(0L, Seq("exact_count"))
+        .select("source", "word", "cms_estimate", "exact_count")
+        .orderBy("source", "word")
     }),
     "dedup_lines" -> ((s, dir) => {
       // CCNet/C4-style line-level dedup: a deterministic multi-line
@@ -1514,6 +1549,7 @@ object SparkEntry {
       // benchmark decontamination + deterministic sampling (all three
       // replay the mix(fnv(·)) key chain the dedup oracles share)
       ("dedup_lines" -> OracleSql.lineDedupSql(10L)) +
+      ("cms_word_counts" -> OracleSql.cmsWordCountsSql(cmsProbes)) +
       ("decontaminate" -> OracleSql.decontaminateSql()) +
       ("sample_stratified" -> OracleSql.sampleStratifiedSql(10)) +
       ("sample_fraction" -> OracleSql.sampleFractionSql(sampleFractions, 0.2)) +
