@@ -341,6 +341,49 @@ object OracleSql {
       "FROM pke ORDER BY source, doc_id"
   }
 
+  /** Full SQL replication of [[graft.search.Bm25.topK]] over
+    * `documents`: query-term df via count(DISTINCT id), avgdl as an
+    * exact integer ratio, idf through DuckDB's ln on the identical
+    * double chain (cross-engine ln equality is the same exposure the
+    * ppl oracle's exp already validates), per-term contributions in
+    * explicit-paren engine order with the inexact constants (k1,
+    * k1+1) embedded as 17-digit literals, and the score as an
+    * ORDER-FORCED left fold over query-term index — the perplexity
+    * doctrine, so parallelism/plan cannot reorder the sum.
+    */
+  def bm25Sql(query: String, k: Int, k1: Double, b: Double): String = {
+    val terms = graft.dedup.Dedup.tokens(query).distinct
+    require(terms.nonEmpty)
+    val tvals = terms.zipWithIndex
+      .map { case (t, j) => s"($j, '${t.replace("'", "''")}')" }.mkString(", ")
+    val inList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val K1 = s"CAST('${d17(k1)}' AS DOUBLE)"
+    val K1P1 = s"CAST('${d17(k1 + 1.0)}' AS DOUBLE)"
+    val B = s"CAST('${d17(b)}' AS DOUBLE)"
+    val B1 = s"CAST('${d17(1.0 - b)}' AS DOUBLE)"
+    s"WITH bmt0 AS (SELECT doc_id AS id, " +
+      s"regexp_extract_all(lower(text), '$tokenRegex') AS ws FROM documents), " +
+      "bmn AS (SELECT count(*) AS n, " +
+      "CAST(coalesce(sum(len(ws)), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl " +
+      "FROM bmt0), " +
+      s"bmterms(j, term) AS (VALUES $tvals), " +
+      "bmtk AS (SELECT id, unnest(ws) AS w FROM bmt0 WHERE len(ws) > 0), " +
+      s"bmdfr AS (SELECT w, count(DISTINCT id) AS df FROM bmtk WHERE w IN ($inList) GROUP BY w), " +
+      "bmidf AS (SELECT t.j, t.term, " +
+      "ln(1.0 + ((CAST(n.n AS DOUBLE) - CAST(coalesce(d.df, 0) AS DOUBLE)) + 0.5) / " +
+      "(CAST(coalesce(d.df, 0) AS DOUBLE) + 0.5)) AS idf " +
+      "FROM bmterms t LEFT JOIN bmdfr d ON t.term = d.w CROSS JOIN bmn n), " +
+      "bmdl AS (SELECT id, len(ws) AS dl FROM bmt0), " +
+      "bmtf AS (SELECT k.id, i.j, i.idf, count(*) AS tf " +
+      "FROM bmtk k JOIN bmidf i ON k.w = i.term GROUP BY k.id, i.j, i.idf), " +
+      "bmc AS (SELECT f.id, f.j, " +
+      s"f.idf * (f.tf * $K1P1) / (CAST(f.tf AS DOUBLE) + $K1 * ($B1 + ($B * CAST(l.dl AS DOUBLE)) / n.avgdl)) AS contrib " +
+      "FROM bmtf f JOIN bmdl l ON f.id = l.id CROSS JOIN bmn n), " +
+      "bmsc AS (SELECT id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list(contrib ORDER BY j)), (a, x) -> a + x) AS score FROM bmc GROUP BY id) " +
+      s"SELECT id, score FROM bmsc WHERE score > 0.0 ORDER BY score DESC, id LIMIT $k"
+  }
+
   /** Full SQL replication of [[graft.functions.CountMinAgg]] over
     * `documents` grouped by source, probed for `probes`: every token
     * occurrence's four sketch buckets recomputed in HUGEINT

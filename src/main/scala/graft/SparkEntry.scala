@@ -80,6 +80,11 @@ object SparkEntry {
     */
   val cmsProbes: Seq[String] = Seq("the", "and", "data", "of", "to", "xyzzyq")
 
+  /** bm25_topk query string — ONE definition for the query and the
+    * oracle (both tokenize it with Dedup.tokens, distinct, in order).
+    */
+  val bm25Query: String = "data quality model training corpus"
+
   /** multimodal_features_raw input media — ONE definition consumed by
     * both the query and the oracle SQL (which embeds these exact bytes
     * as VALUES) so they cannot drift. Dims/durations stay small so the
@@ -723,6 +728,14 @@ object SparkEntry {
       Dedup.ngramJaccardPrefix(t, "id", "text", n = 3, threshold = 0.5)
         .withColumn("jaccard", r6(F.col("jaccard")))
         .orderBy("id_a", "id_b")
+    }),
+    "bm25_topk" -> ((s, dir) => {
+      // lexical retrieval top-k (Okapi BM25, Lucene +1 idf): stats
+      // pass (query-term df + avgdl) then a fused map-only scoring
+      // kernel with a fixed-order fold, TakeOrderedAndProject top-k;
+      // the oracle replays df/avgdl/idf/score with order-forced sums
+      graft.search.Bm25.topK(tbl(s, dir, "documents"),
+        "doc_id", "text", bm25Query, k = 15)
     }),
     "cms_word_counts" -> ((s, dir) => {
       // Count-Min sketch heavy-hitter estimates per source: one
@@ -1550,6 +1563,7 @@ object SparkEntry {
       // replay the mix(fnv(·)) key chain the dedup oracles share)
       ("dedup_lines" -> OracleSql.lineDedupSql(10L)) +
       ("cms_word_counts" -> OracleSql.cmsWordCountsSql(cmsProbes)) +
+      ("bm25_topk" -> OracleSql.bm25Sql(bm25Query, 15, 1.2, 0.75)) +
       ("decontaminate" -> OracleSql.decontaminateSql()) +
       ("sample_stratified" -> OracleSql.sampleStratifiedSql(10)) +
       ("sample_fraction" -> OracleSql.sampleFractionSql(sampleFractions, 0.2)) +

@@ -1,0 +1,96 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+import graft.dedup.Dedup
+
+/** BM25 keyword retrieval (Robertson/Walker, Okapi at TREC-3, 1994;
+  * the `+1` idf form of Lucene) — the lexical top-k complement to the
+  * embedding ANN family: the curation workflows that retrieve "docs
+  * about X" for auditing or targeted sampling run exactly this.
+  *
+  * Two-pass shape, both passes distributed:
+  *   1. STATS: document frequency of the (few, broadcast) query terms,
+  *      corpus size N and total token count — one filtered aggregate
+  *      over the token stream; only (term, id) pairs for QUERY terms
+  *      reach the exchange, the rest of the vocabulary is filtered
+  *      map-side. The per-term idf is then computed once on the driver
+  *      (bounded by |query|, not by the corpus).
+  *   2. SCORE: a fused map-only kernel — tokenize once, term
+  *      frequencies for the broadcast terms, score as a FIXED-ORDER
+  *      left fold over the query terms (first-appearance order), so
+  *      the double is reproducible bit for bit regardless of
+  *      parallelism — then global top-k (TakeOrderedAndProject: per-
+  *      partition heaps, no full sort).
+  *
+  * At 10^12 rows a standing deployment would persist pass-1 stats as
+  * an index table keyed by term (same lifecycle as [[graft.knn.IvfIndex]]);
+  * the per-query marginal cost is then pass 2 only.
+  *
+  * score(d) = Σ_j idf_j · tf_j·(k1+1) / (tf_j + k1·(1 − b + b·dl/avgdl))
+  * with idf_j = ln(1 + (N − df_j + 0.5)/(df_j + 0.5)); docs sharing no
+  * term with the query are not candidates (score ≡ 0, excluded).
+  */
+object Bm25 {
+
+  /** Per-term stats the scoring pass needs: parallel arrays in query
+    * first-appearance order (the fold order).
+    */
+  final case class Stats(terms: Array[String], idf: Array[Double],
+      n: Long, avgdl: Double)
+
+  /** Pass 1: query-term document frequencies + corpus stats. */
+  def stats(docs: DataFrame, idCol: String, textCol: String,
+      query: String): Stats = {
+    val terms = Dedup.tokens(query).distinct
+    val tokU = F.udf((t: String) => Dedup.tokens(t))
+    val base = docs.select(F.col(idCol).as("id"), tokU(F.col(textCol)).as("ws"))
+    val Array(nRow) = base
+      .agg(F.count(F.lit(1)).as("n"), F.sum(F.size(F.col("ws"))).as("tok"))
+      .collect()
+    val n = nRow.getLong(0)
+    val totTok = if (nRow.isNullAt(1)) 0L else nRow.getLong(1)
+    val dfMap = base
+      .select(F.col("id"), F.explode(F.col("ws")).as("w"))
+      .filter(F.col("w").isin(terms.toSeq: _*))
+      .groupBy("w").agg(F.count_distinct(F.col("id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = terms.map { t =>
+      val df = dfMap.getOrElse(t, 0L).toDouble
+      math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
+    }
+    Stats(terms, idf, n, if (n == 0) 0.0 else totTok.toDouble / n.toDouble)
+  }
+
+  /** The per-doc score — fixed-order fold; public so the spec and the
+    * oracle derivation share it.
+    */
+  def score(st: Stats, text: String, k1: Double, b: Double): Double = {
+    val toks = Dedup.tokens(text)
+    val dl = toks.length.toDouble
+    var acc = 0.0
+    var j = 0
+    while (j < st.terms.length) {
+      var tf = 0
+      var i = 0
+      while (i < toks.length) { if (toks(i) == st.terms(j)) tf += 1; i += 1 }
+      if (tf > 0) {
+        val norm = tf + k1 * (1.0 - b + b * dl / st.avgdl)
+        acc = acc + st.idf(j) * (tf * (k1 + 1.0)) / norm
+      }
+      j += 1
+    }
+    acc
+  }
+
+  /** Pass 2 + top-k. Output (id, score), score DESC, id ASC tie-break. */
+  def topK(docs: DataFrame, idCol: String, textCol: String, query: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val st = stats(docs, idCol, textCol, query)
+    val scoreU = F.udf((t: String) => score(st, t, k1, b))
+    docs.select(F.col(idCol).as("id"), scoreU(F.col(textCol)).as("score"))
+      .filter(F.col("score") > 0.0)
+      .orderBy(F.col("score").desc, F.col("id"))
+      .limit(k)
+  }
+}
