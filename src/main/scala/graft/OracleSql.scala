@@ -341,6 +341,58 @@ object OracleSql {
       "FROM pke ORDER BY source, doc_id"
   }
 
+  /** Full SQL replication of [[graft.functions.HllAgg]] over
+    * `documents` grouped by source: every token's register index and
+    * rank recomputed in HUGEINT (top-10-bit split, leading zeros via
+    * 65 - length(bin(rest)) — integer-exact), registers as grouped
+    * MAX over a full source×1024 grid, the Σ2^-reg fold ORDER-FORCED
+    * over register index with the engine's exact dyadic addends
+    * dumped as literals, and the linear-counting branch replayed from
+    * a dumped (V → m·ln(m/V)) table — V is discrete, so even the
+    * transcendental branch is bit-exact.
+    */
+  def hllVocabSql(): String = {
+    import graft.functions.HllAgg
+    val m = HllAgg.M
+    val twoP = 1L << (64 - HllAgg.P) // 2^54
+    val invVals = HllAgg.INV_POW2.zipWithIndex
+      .map { case (v, r) => s"($r, CAST('${d17(v)}' AS DOUBLE))" }.mkString(", ")
+    val lcVals = (1 to m)
+      .map(v => s"($v, CAST('${d17(m.toDouble * math.log(m.toDouble / v))}' AS DOUBLE))")
+      .mkString(", ")
+    val alpha = s"CAST('${d17(HllAgg.ALPHA_M2)}' AS DOUBLE)"
+    val sb = new StringBuilder
+    sb ++= "WITH hlt0 AS (SELECT source, " +
+      s"regexp_extract_all(lower(text), '$tokenRegex') AS ws FROM documents), "
+    sb ++= "hltk AS (SELECT source, unnest(ws) AS w FROM hlt0 WHERE len(ws) > 0), "
+    val (whBlock, whCte) = wordHashCtes("hltk", Seq("source"), "hlW")
+    sb ++= whBlock
+    sb ++= s", hlr AS (SELECT source, CAST(wh // $twoP AS BIGINT) AS idx, " +
+      s"(wh % $twoP) * ${1 << HllAgg.P} AS rest FROM $whCte), "
+    sb ++= s"hlrank AS (SELECT source, idx, CASE WHEN rest = 0 THEN ${64 - HllAgg.P + 1} " +
+      "ELSE 65 - length(bin(rest)) END AS rnk FROM hlr), "
+    sb ++= "hlreg0 AS (SELECT source, idx, max(rnk) AS reg FROM hlrank GROUP BY source, idx), "
+    sb ++= "hlsrc AS (SELECT DISTINCT source FROM documents), "
+    sb ++= s"hlgrid AS (SELECT s.source, g.i AS idx FROM hlsrc s CROSS JOIN " +
+      s"(SELECT unnest(range(0, $m)) AS i) g), "
+    sb ++= "hlreg AS (SELECT g.source, g.idx, coalesce(r.reg, 0) AS reg FROM hlgrid g " +
+      "LEFT JOIN hlreg0 r ON g.source = r.source AND g.idx = r.idx), "
+    sb ++= s"hlinv(r, inv) AS (VALUES $invVals), "
+    sb ++= "hlsum AS (SELECT e.source, " +
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v.inv ORDER BY e.idx)), " +
+      "(a, x) -> a + x) AS s, " +
+      "sum(CASE WHEN e.reg = 0 THEN 1 ELSE 0 END) AS zeros " +
+      "FROM hlreg e JOIN hlinv v ON e.reg = v.r GROUP BY e.source), "
+    sb ++= s"hllc(v, est) AS (VALUES $lcVals), "
+    sb ++= s"hlest AS (SELECT u.source, CASE WHEN ($alpha / u.s) <= ${2.5 * m} AND u.zeros > 0 " +
+      s"THEN lc.est ELSE ($alpha / u.s) END AS hll_estimate " +
+      "FROM hlsum u LEFT JOIN hllc lc ON u.zeros = lc.v), "
+    sb ++= "hlex AS (SELECT source, count(DISTINCT w) AS exact_distinct FROM hltk GROUP BY source) "
+    sb ++= "SELECT e.source, e.hll_estimate, coalesce(x.exact_distinct, 0) AS exact_distinct " +
+      "FROM hlest e LEFT JOIN hlex x ON e.source = x.source ORDER BY e.source"
+    sb.toString
+  }
+
   /** Full SQL replication of [[graft.search.Bm25.topK]] over
     * `documents`: query-term df via count(DISTINCT id), avgdl as an
     * exact integer ratio, idf through DuckDB's ln on the identical

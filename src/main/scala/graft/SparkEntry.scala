@@ -729,6 +729,26 @@ object SparkEntry {
         .withColumn("jaccard", r6(F.col("jaccard")))
         .orderBy("id_a", "id_b")
     }),
+    "hll_vocab" -> ((s, dir) => {
+      // HyperLogLog vocabulary size per source: constant 1 KiB
+      // register state per group vs count(DISTINCT word)'s
+      // one-row-per-distinct-word shuffle; exact counts ride along so
+      // the oracle value-compares registers AND the estimate (incl.
+      // the linear-counting branch via a dumped discrete ln table)
+      import graft.functions.HllAgg
+      val docs = tbl(s, dir, "documents")
+      val estU = F.udf((regs: Seq[Int]) => HllAgg.estimate(regs.toArray))
+      val sk = docs.groupBy("source").agg(HllAgg.hll_agg(F.col("text")).as("regs"))
+        .select(F.col("source"), estU(F.col("regs")).as("hll_estimate"))
+      val tokU = F.udf((t: String) => Dedup.tokens(t))
+      val exact = docs
+        .select(F.col("source"), F.explode(tokU(F.col("text"))).as("w"))
+        .groupBy("source")
+        .agg(F.count_distinct(F.col("w")).as("exact_distinct"))
+      sk.join(exact, Seq("source"), "left")
+        .na.fill(0L, Seq("exact_distinct"))
+        .orderBy("source")
+    }),
     "bm25_topk" -> ((s, dir) => {
       // lexical retrieval top-k (Okapi BM25, Lucene +1 idf): stats
       // pass (query-term df + avgdl) then a fused map-only scoring
@@ -1564,6 +1584,7 @@ object SparkEntry {
       ("dedup_lines" -> OracleSql.lineDedupSql(10L)) +
       ("cms_word_counts" -> OracleSql.cmsWordCountsSql(cmsProbes)) +
       ("bm25_topk" -> OracleSql.bm25Sql(bm25Query, 15, 1.2, 0.75)) +
+      ("hll_vocab" -> OracleSql.hllVocabSql()) +
       ("decontaminate" -> OracleSql.decontaminateSql()) +
       ("sample_stratified" -> OracleSql.sampleStratifiedSql(10)) +
       ("sample_fraction" -> OracleSql.sampleFractionSql(sampleFractions, 0.2)) +
