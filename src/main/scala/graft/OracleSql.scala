@@ -495,6 +495,57 @@ object OracleSql {
     sb.toString
   }
 
+  /** Full SQL replication of [[graft.dedup.Dedup.spanDedup]] over the
+    * derived docs the `dedup_spans` query constructs (natural text
+    * plus planted shared/unique tails): per-position w-token window
+    * hashes via the proven lag-chained splitmix fold (same chain as
+    * [[shingleCtes]], positions kept), first occurrence per hash by
+    * (id, start), token kept iff SOME covering window is the first
+    * occurrence, token-normalized reassembly. Docs under w tokens
+    * pass through untouched.
+    */
+  def spanDedupSql(w: Int): String = {
+    val seed = s"CAST('${u(0x2545f4914f6cdd1dL)}' AS HUGEINT)"
+    val sb = new StringBuilder
+    sb ++= "WITH sd0 AS (SELECT doc_id AS id, text || " +
+      "CASE WHEN doc_id % 4 IN (1, 2) THEN ' the quick brown fox jumps over the lazy dog again and again' " +
+      "WHEN doc_id % 4 = 3 THEN ' closing marker ' || CAST(doc_id AS VARCHAR) " +
+      "ELSE '' END AS text FROM documents), "
+    sb ++= "sdt AS (SELECT id, " +
+      s"regexp_extract_all(lower(text), '$tokenRegex') AS ws FROM sd0), "
+    sb ++= "sdtk AS (SELECT id, len(ws) AS nw, unnest(ws) AS w, " +
+      "unnest(range(1, len(ws) + 1)) AS pos FROM sdt WHERE len(ws) > 0), "
+    val (whBlock, whCte) = wordHashCtes("sdtk", Seq("id", "nw", "pos"), "sdW")
+    sb ++= whBlock
+    var prev = whCte
+    (1 to w).foreach { j =>
+      val in = if (j == 1) s"xor($seed, wh)" else s"xor(sdp${j - 1}, wh)"
+      sb ++= s", sdg$j AS (SELECT id, nw, pos, wh, ${mixCols(s"sdx$j", in, s"sdc$j")} FROM $prev)"
+      if (j < w) {
+        sb ++= s", sdl$j AS (SELECT id, nw, pos, wh, " +
+          s"lag(sdc$j) OVER (PARTITION BY id ORDER BY pos) AS sdp$j FROM sdg$j)"
+        prev = s"sdl$j"
+      } else prev = s"sdg$j"
+    }
+    sb ++= s", sdwin AS (SELECT id, pos - $w AS s, sdc$w AS h FROM $prev " +
+      s"WHERE nw >= $w AND pos >= $w), "
+    sb ++= "sdrn AS (SELECT id, s, h, " +
+      "row_number() OVER (PARTITION BY h ORDER BY id, s) AS rn FROM sdwin), "
+    sb ++= s"sdkeep AS (SELECT t.id, t.pos, t.w, bool_or(r.rn = 1) AS kept " +
+      "FROM sdtk t JOIN sdrn r ON t.id = r.id AND " +
+      s"r.s BETWEEN greatest(0, (t.pos - 1) - ${w - 1}) AND least(t.pos - 1, t.nw - $w) " +
+      s"WHERE t.nw >= $w GROUP BY t.id, t.pos, t.w), "
+    sb ++= "sdka AS (SELECT id, string_agg(w, ' ' ORDER BY pos) AS text, " +
+      "count(*) AS n_kept FROM sdkeep WHERE kept GROUP BY id " +
+      "UNION ALL SELECT id, string_agg(w, ' ' ORDER BY pos) AS text, count(*) AS n_kept " +
+      s"FROM sdtk WHERE nw < $w GROUP BY id), "
+    sb ++= "sdnt AS (SELECT id, len(ws) AS n_tokens FROM sdt) "
+    sb ++= "SELECT b.id, coalesce(a.text, '') AS text, b.n_tokens, " +
+      "coalesce(a.n_kept, 0) AS n_kept " +
+      "FROM sdnt b LEFT JOIN sdka a USING (id) ORDER BY b.id"
+    sb.toString
+  }
+
   /** Full SQL replication of [[graft.dedup.Dedup.lineDedup]] over the
     * derived multi-line docs the `dedup_lines` query constructs from
     * `documents`: line split with positions, lower(trim) matching,

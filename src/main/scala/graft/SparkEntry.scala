@@ -786,6 +786,23 @@ object SparkEntry {
         .select("source", "word", "cms_estimate", "exact_count")
         .orderBy("source", "word")
     }),
+    "dedup_spans" -> ((s, dir) => {
+      // ExactSubstr/C4-family span dedup: duplicated w-token windows
+      // removed corpus-wide except the globally-first occurrence;
+      // tails planted so cross-doc duplicate spans exist at every sf
+      // (%4 in {1,2} share a 12-token sentence; %4==3 gets a unique
+      // closing marker); natural-text duplicate 8-grams dedup too —
+      // the oracle replays them identically
+      val d = tbl(s, dir, "documents").select(
+        F.col("doc_id").as("id"),
+        F.concat(F.col("text"),
+          F.when(F.col("doc_id") % 4 === 1 || F.col("doc_id") % 4 === 2,
+            F.lit(" the quick brown fox jumps over the lazy dog again and again"))
+            .when(F.col("doc_id") % 4 === 3,
+              F.concat(F.lit(" closing marker "), F.col("doc_id").cast("string")))
+            .otherwise(F.lit(""))).as("text"))
+      Dedup.spanDedup(d, "id", "text", w = 8).orderBy("id")
+    }),
     "dedup_lines" -> ((s, dir) => {
       // CCNet/C4-style line-level dedup: a deterministic multi-line
       // doc is derived from each documents row so every decision
@@ -1582,6 +1599,7 @@ object SparkEntry {
       // benchmark decontamination + deterministic sampling (all three
       // replay the mix(fnv(·)) key chain the dedup oracles share)
       ("dedup_lines" -> OracleSql.lineDedupSql(10L)) +
+      ("dedup_spans" -> OracleSql.spanDedupSql(8)) +
       ("cms_word_counts" -> OracleSql.cmsWordCountsSql(cmsProbes)) +
       ("bm25_topk" -> OracleSql.bm25Sql(bm25Query, 15, 1.2, 0.75)) +
       ("hll_vocab" -> OracleSql.hllVocabSql()) +

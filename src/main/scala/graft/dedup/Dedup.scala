@@ -752,6 +752,92 @@ object Dedup extends Serializable {
       .withColumn("is_contaminated", F.col("contaminated_grams") >= minHits)
   }
 
+  /** Per-start-position hashes of every w-token window — the SAME
+    * seeded mix-chain fold as [[shingles]] (so the SQL oracle reuses
+    * the proven chain template), but positions kept and nothing
+    * deduplicated. Empty for docs shorter than w tokens.
+    */
+  def windowHashes(text: String, w: Int): Array[Long] = {
+    val words = tokens(text)
+    if (words.length < w) return Array.emptyLongArray
+    val out = new Array[Long](words.length - w + 1)
+    var i = 0
+    while (i + w <= words.length) {
+      var h = 0x2545f4914f6cdd1dL
+      var j = i
+      while (j < i + w) { h = mix(h ^ wordHash64(words(j))); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Span-level corpus dedup (the C4 three-sentence-span /
+    * Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022) ExactSubstr family, on word-token windows):
+    * training corpora repeat long SPANS inside otherwise-distinct
+    * documents (quotes, licenses, syndicated paragraphs) that
+    * doc-level and line-level dedup both miss. Every `w`-token sliding
+    * window is hashed; of all instances of a duplicated window, only
+    * the globally-first (id, start) occurrence is RETAINED. A token
+    * survives iff at least one window covering it is retained (so
+    * duplicated regions vanish except in the first-occurrence doc,
+    * while boundary tokens shared with unique context survive — the
+    * maximal-duplicated-region semantics). Docs with fewer than `w`
+    * tokens are untouched.
+    *
+    * OUTPUT TEXT IS TOKEN-NORMALIZED (lowercased word tokens joined by
+    * single spaces): span removal is defined over the token stream, so
+    * the operator returns the retained token stream, not a spliced
+    * original string. Output (id, text, n_tokens, n_kept).
+    *
+    * Plan shape at 10^12 rows: the window exchange ships (hash, id,
+    * start) scalars only; first-occurrence is the two-phase
+    * groupBy-min(struct) (no window over a hot span hash — a license
+    * paragraph shared by 10^7 docs aggregates map-side); only the
+    * DROPPED starts (the duplicate instances — the small set in a
+    * mostly-unique corpus) are collected per doc, and the rebuild is a
+    * map-only kernel whose state is one document's tokens, the same
+    * bound as reassembly.
+    */
+  def spanDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8
+  ): DataFrame = {
+    require(w >= 2, "window must span at least 2 tokens")
+    val whU = F.udf((t: String) => windowHashes(t, w))
+    val wins = docs
+      .select(F.col(idCol).as("id"),
+        F.posexplode(whU(F.col(textCol))).as(Seq("s", "h")))
+    val firsts = wins.groupBy("h")
+      .agg(F.min(F.struct(F.col("id"), F.col("s"))).as("first"))
+    val dropped = wins
+      .join(firsts.hint("shuffle_hash"), Seq("h"))
+      .filter(!(F.col("first.id") === F.col("id") && F.col("first.s") === F.col("s")))
+      .groupBy("id")
+      .agg(F.sort_array(F.collect_list(F.col("s"))).as("drops"))
+    val rebuildU = F.udf { (t: String, drops: Seq[Int]) =>
+      val toks = tokens(t)
+      val n = toks.length
+      if (n < w) (toks.mkString(" "), n, n)
+      else {
+        val droppedSet = if (drops == null) Set.empty[Int] else drops.toSet
+        val kept = (0 until n).filter { i =>
+          (math.max(0, i - w + 1) to math.min(i, n - w))
+            .exists(s => !droppedSet.contains(s))
+        }
+        (kept.map(toks).mkString(" "), n, kept.size)
+      }
+    }
+    docs.select(F.col(idCol).as("id"), F.col(textCol).as("__t"))
+      .join(dropped, Seq("id"), "left")
+      .withColumn("__r", rebuildU(F.col("__t"), F.col("drops")))
+      .select(F.col("id"), F.col("__r._1").as("text"),
+        F.col("__r._2").as("n_tokens"), F.col("__r._3").as("n_kept"))
+  }
+
   /** Line-level corpus dedup (CCNet / C4 style): web text repeats whole
     * LINES across documents (nav bars, cookie banners, footers) far
     * more than whole documents, so curation pipelines dedup at line
