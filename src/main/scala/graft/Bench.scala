@@ -42,7 +42,8 @@ object Bench {
     "html_extract", "perplexity_turns",
     "multimodal_features", "curate_cheap", "curate_transcripts",
     "decontaminate", "sample_fraction", "dedup_lines", "quality_classifier",
-    "cms_word_counts", "bm25_topk", "hll_vocab", "dedup_spans")
+    "cms_word_counts", "bm25_topk", "hll_vocab", "dedup_spans",
+    "sample_temperature")
 
   /** Queries whose single-run variance was flagged in round 1 — min-of-3. */
   private val tripleRep = Set("dedup_conversations")

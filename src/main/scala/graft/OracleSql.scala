@@ -495,6 +495,40 @@ object OracleSql {
     sb.toString
   }
 
+  /** Full SQL replication of sqrt-temperature mixing
+    * ([[graft.sample.Sampling.sqrtTemperatureRates]] +
+    * [[graft.sample.Sampling.sampleByRates]]) over `documents`:
+    * per-source counts, Σ sqrt(n) as an ORDER-FORCED fold in sorted-
+    * source order (sqrt is IEEE-correctly-rounded — bit-equal across
+    * engines by the standard, unlike exp/ln which are merely observed
+    * equal), the rate chain in explicit engine paren order, and the
+    * keep decision as a pure double compare of the key's exact dyadic
+    * [0,1) fraction against the rate.
+    */
+  def sampleTemperatureSql(totalFraction: Double): String = {
+    val tf = s"CAST('${d17(totalFraction)}' AS DOUBLE)"
+    val p53 = s"CAST('${d17(graft.sample.Sampling.P53INV)}' AS DOUBLE)"
+    val sb = new StringBuilder
+    sb ++= "WITH tmc AS (SELECT CAST(source AS VARCHAR) AS s, count(*) AS n " +
+      "FROM documents GROUP BY source), "
+    sb ++= "tmt AS (SELECT sum(n) AS total, " +
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list(sqrt(CAST(n AS DOUBLE)) ORDER BY s)), (a, x) -> a + x) AS sumw FROM tmc), "
+    sb ++= s"tmr AS (SELECT s, n, CASE WHEN r0 < 1.0 THEN r0 ELSE 1.0 END AS rate FROM " +
+      s"(SELECT s, n, (($tf * CAST(t.total AS DOUBLE)) * sqrt(CAST(n AS DOUBLE))) / " +
+      "(t.sumw * CAST(n AS DOUBLE)) AS r0 FROM tmc CROSS JOIN tmt t)), "
+    sb ++= "tmk0 AS (SELECT CAST(source AS VARCHAR) AS s, " +
+      "CAST(doc_id AS VARCHAR) AS w FROM documents), "
+    val (whBlock, whCte) = wordHashCtes("tmk0", Seq("s"), "tmW")
+    sb ++= whBlock
+    sb ++= s", tmkf AS (SELECT s, CAST(wh // 2048 AS DOUBLE) * $p53 AS kf FROM $whCte), "
+    sb ++= "tmkept AS (SELECT k.s, count(*) AS kept FROM tmkf k JOIN tmr r ON k.s = r.s " +
+      "WHERE k.kf < r.rate GROUP BY k.s) "
+    sb ++= "SELECT r.s AS source, r.n AS n_docs, r.rate, coalesce(t.kept, 0) AS kept " +
+      "FROM tmr r LEFT JOIN tmkept t ON r.s = t.s ORDER BY r.s"
+    sb.toString
+  }
+
   /** Full SQL replication of [[graft.dedup.Dedup.spanDedup]] over the
     * derived docs the `dedup_spans` query constructs (natural text
     * plus planted shared/unique tails): per-position w-token window

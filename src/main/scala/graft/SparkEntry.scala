@@ -834,6 +834,25 @@ object SparkEntry {
           docs.filter(F.col("doc_id") % 97 === 0), "text")
         .orderBy("id")
     }),
+    "sample_temperature" -> ((s, dir) => {
+      // sqrt-temperature domain mixing (XLM-style alpha=0.5): per-
+      // source rates computed from counts with an order-forced sqrt
+      // fold (sqrt is IEEE-exact, so the oracle replays every rate bit
+      // for bit), applied as a map-only pure-double key compare; the
+      // summary exposes rates AND realized kept counts per source
+      val docs = tbl(s, dir, "documents")
+      val rates = graft.sample.Sampling.sqrtTemperatureRates(docs, "source", 0.25)
+      val sampled = graft.sample.Sampling
+        .sampleByRates(docs, "source", "doc_id", rates)
+        .groupBy("source").agg(F.count(F.lit(1)).as("kept"))
+      val rateU = F.udf((src: String) => rates(src))
+      docs.groupBy("source").agg(F.count(F.lit(1)).as("n_docs"))
+        .join(sampled, Seq("source"), "left")
+        .na.fill(0L, Seq("kept"))
+        .withColumn("rate", rateU(F.col("source")))
+        .select("source", "n_docs", "rate", "kept")
+        .orderBy("source")
+    }),
     "sample_stratified" -> ((s, dir) => {
       // deterministic exactly-k-per-source sample (domain mixing);
       // the sampling key is mix(fnv(id)) so the oracle replays rank
@@ -1606,6 +1625,7 @@ object SparkEntry {
       ("decontaminate" -> OracleSql.decontaminateSql()) +
       ("sample_stratified" -> OracleSql.sampleStratifiedSql(10)) +
       ("sample_fraction" -> OracleSql.sampleFractionSql(sampleFractions, 0.2)) +
+      ("sample_temperature" -> OracleSql.sampleTemperatureSql(0.25)) +
       ("pack_shards" -> OracleSql.packShardsSql(1000L)) +
       ("quality_classifier" -> OracleSql.qualityClassifierSql(
         graft.ml.QualityClassifier.defaultModel)) +

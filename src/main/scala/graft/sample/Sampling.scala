@@ -120,6 +120,66 @@ object Sampling {
       .toDF(strataCol, orderCol, "shard_idx", "shard_pos")
   }
 
+  /** 2^-53 — scales a 53-bit key prefix into [0, 1) exactly (both the
+    * shift result's Double conversion and the multiply by a power of
+    * two are lossless), so the keep decision below is a pure Double
+    * compare that SQL replays bit for bit.
+    */
+  val P53INV: Double = java.lang.Math.scalb(1.0, -53)
+
+  /** The key as an exact dyadic fraction in [0, 1). */
+  def keyFrac(idStr: String): Double =
+    (Dedup.wordHash64(idStr) >>> 11).toDouble * P53INV
+
+  /** Square-root temperature mixing (the multilingual-training
+    * downsampling rule — sample source s proportionally to
+    * sqrt(n_s), e.g. Conneau/Lample XLM 2019's α-smoothing at α=0.5):
+    * big sources are downsampled hardest, small sources kept whole.
+    * Given a total keep budget `totalFraction`·Σn, source s gets rate
+    *   f_s = min(1, totalFraction · Σn · sqrt(n_s) / (Σ_t sqrt(n_t) · n_s)).
+    * sqrt is IEEE-correctly-rounded (unlike exp/ln it is REQUIRED to
+    * be exact by the standard), and Σ sqrt runs as a left fold in
+    * sorted-source order — every arithmetic step is reproducible bit
+    * for bit in the DuckDB oracle.
+    *
+    * The per-source count aggregate is map-side partial; the collect
+    * is bounded by the number of SOURCES, not rows (the langid/BM25
+    * driver-side-stats precedent).
+    */
+  def sqrtTemperatureRates(
+      df: DataFrame,
+      strataCol: String,
+      totalFraction: Double
+  ): Map[String, Double] = {
+    require(totalFraction > 0 && totalFraction <= 1)
+    val counts = df.groupBy(F.col(strataCol).cast("string").as("s"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val nTotal = counts.map(_._2).sum // integer, exact
+    var sumW = 0.0
+    counts.foreach { case (_, n) => sumW = sumW + math.sqrt(n.toDouble) }
+    val target = totalFraction * nTotal.toDouble
+    counts.map { case (s, n) =>
+      s -> math.min(1.0, (target * math.sqrt(n.toDouble)) / (sumW * n.toDouble))
+    }.toMap
+  }
+
+  /** Map-only deterministic sampling at per-stratum DOUBLE rates:
+    * keep iff keyFrac(id) < rate. Unknown strata keep nothing.
+    */
+  def sampleByRates(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      rates: Map[String, Double]
+  ): DataFrame = {
+    val keepU = F.udf { (strata: String, idStr: String) =>
+      rates.get(strata).exists(r => keyFrac(idStr) < r)
+    }
+    df.filter(keepU(F.col(strataCol).cast("string"), F.col(idCol).cast("string")))
+  }
+
   /** fraction → unsigned 2^64 threshold (exact integer arithmetic on
     * the BigDecimal fraction; 1.0 → the keep-all sentinel -1).
     */
