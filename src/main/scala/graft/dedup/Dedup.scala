@@ -808,9 +808,16 @@ object Dedup extends Serializable {
   ): DataFrame = {
     require(w >= 2, "window must span at least 2 tokens")
     val whU = F.udf((t: String) => windowHashes(t, w))
+    // sketch-once discipline (the minhash/ngram-prefix lesson): wins
+    // feeds BOTH the first-occurrence aggregate and the join-back —
+    // without pinning, each branch re-runs the O(n·w) hash UDF over
+    // the whole corpus. Eager localCheckpoint materializes the
+    // (id, s, h) scalars once (a production cluster job would use a
+    // reliable checkpoint dir — same plan).
     val wins = docs
       .select(F.col(idCol).as("id"),
         F.posexplode(whU(F.col(textCol))).as(Seq("s", "h")))
+      .localCheckpoint()
     val firsts = wins.groupBy("h")
       .agg(F.min(F.struct(F.col("id"), F.col("s"))).as("first"))
     val dropped = wins

@@ -81,6 +81,15 @@ class SpanDedupSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"hot-key window in span dedup:\n$plan")
   }
 
+  test("window-hash UDF computed once: both consumers read the pinned scalars") {
+    val plan = Dedup.spanDedup(corpus.toDF("id", "text"), "id", "text", W)
+      .queryExecution.executedPlan.toString
+    // the explode of the hash UDF happens at checkpoint time; were it
+    // inlined, BOTH the aggregate and the join-back subtree would
+    // carry their own Generate over the UDF
+    assert(!plan.contains("Generate"), s"window UDF re-inlined:\n$plan")
+  }
+
   test("partition-invariant") {
     val base = run(corpus, W)
     val got = Dedup.spanDedup(corpus.toDF("id", "text").repartition(7),
