@@ -177,7 +177,20 @@ object OracleSql {
     * engines), longest-match backoff with (startN - n) penalties, and
     * the engine's Float division for seen n-grams (REAL / REAL).
     */
-  def pplCtes(src: String, keys: Seq[String], p: String): (String, String) = {
+  /** @param exactLn replace every data-dependent `ln(num / den)` with a
+    *   JOIN against a dumped Java-computed log table over the model's
+    *   bounded count universe (the HllAgg discrete-ln technique) and the
+    *   unseen-unigram `ln` with a Java literal, so NO DuckDB `ln` ever
+    *   runs on the per-token path — cross-build libm/division agreement
+    *   stops being load-bearing (CORRECTNESS_r04/r05's red row: the
+    *   driver's DuckDB build disagreed with the JVM by an ulp per token,
+    *   which `exp` amplified past the round(ppl,4) quantum). Default
+    *   false keeps the r5 SQL byte-identical for the green callers
+    *   (curate_transcripts family), whose ppl only feeds a threshold
+    *   gate that absorbs last-ulp noise.
+    */
+  def pplCtes(src: String, keys: Seq[String], p: String,
+      exactLn: Boolean = false): (String, String) = {
     val lm = Curate.defaultModels.lm
     require(lm.order == 3, s"pplCtes is unrolled for order 3, got ${lm.order}")
     val rows = new StringBuilder
@@ -192,6 +205,75 @@ object OracleSql {
     val k = keys.mkString(", ")
     val seed = s"CAST('${u(0x2545f4914f6cdd1dL)}' AS HUGEINT)"
     def z(h: String, out: String) = s"CASE WHEN $h = 0 THEN $GOLDH ELSE $h END AS $out"
+    // exactLn: Java-computed log table over the bounded count universe.
+    // Every seen-n-gram branch computes math.log((num / den).toFloat
+    // widened) where num and den are INTEGER-valued Float counts from
+    // the dumped table (den for the unigram branch is the constant
+    // denF) — so the full set of reachable (num, den) operand pairs is
+    // the cross product of the distinct count values (num <= den in any
+    // real lookup: a window's count never exceeds its context's), plus
+    // (c, denF). Dump fdiv-then-log for each pair via shortest
+    // round-trip strings (strtof/strtod are correctly rounded; a bare
+    // decimal literal would go through DECIMAL and DuckDB's
+    // DECIMAL→REAL conversion is NOT correctly rounded — the langid
+    // weight lesson).
+    val lnJoin: Option[String] = if (!exactLn) None else {
+      val cnts = scala.collection.mutable.TreeSet.empty[Float]
+      lm.table.foreach((_, c) => cnts += c)
+      val nums = cnts.toArray
+      val lnRows = new StringBuilder
+      var nPairs = 0
+      def addPair(a: Float, b: Float): Unit = {
+        val q: Float = a / b
+        if (lnRows.nonEmpty) lnRows += ','
+        lnRows ++= s"('${a.toString}','${b.toString}','${math.log(q.toDouble).toString}')"
+        nPairs += 1
+      }
+      for (a <- nums; b <- nums if a <= b) addPair(a, b)
+      nums.foreach(a => addPair(a, denF))
+      require(nPairs <= 300000, s"ln pair table too large: $nPairs")
+      val lt =
+        s"${p}lt AS (SELECT CAST(c0 AS REAL) AS num, CAST(c1 AS REAL) AS den, " +
+          s"CAST(c2 AS DOUBLE) AS lv FROM (VALUES ${lnRows.toString}) v(c0, c1, c2)), "
+      Some(lt)
+    }
+    val lpCte = lnJoin match {
+      case None =>
+        s"${p}lp AS (SELECT $k, ntok, pos, CASE " +
+          "WHEN pos >= 3 AND c3n IS NOT NULL THEN ln(c3n / cd3) " +
+          s"WHEN pos >= 2 AND c2n IS NOT NULL THEN (CASE WHEN pos >= 3 THEN $lb ELSE 0.0 END) + ln(c2n / cd2) " +
+          s"WHEN c1n IS NOT NULL THEN (least(3, pos) - 1) * $lb + ln(c1n / $den1f) " +
+          s"ELSE (least(3, pos) - 1) * $lb + ln(1.0 / $den1d) END AS logp FROM ${p}j), "
+      case Some(lt) =>
+        // backoff constant via strtod (quoted), never a bare DECIMAL
+        // literal; multipliers 0/1/2 are exact in IEEE (0·x, 1·x, 2·x)
+        val lbq = s"CAST('${NGramLM.LOG_BACKOFF.toString}' AS DOUBLE)"
+        // unseen-unigram constants computed STEPWISE exactly as the
+        // engine does (NGramLM.logProb: backoff += lb per missed level,
+        // then backoff - lb + log(1.0/denF)) — no algebraic identity
+        // (3·lb vs lb+lb+lb) is assumed across the compare boundary
+        val logUnseen = math.log(1.0 / denF)
+        def unseenConst(levels: Int): Double = {
+          var backoff = 0.0
+          var n = 0
+          while (n < levels) { backoff += NGramLM.LOG_BACKOFF; n += 1 }
+          backoff - NGramLM.LOG_BACKOFF + logUnseen
+        }
+        val unseenCase = s"CASE least(3, pos) " +
+          s"WHEN 1 THEN CAST('${unseenConst(1).toString}' AS DOUBLE) " +
+          s"WHEN 2 THEN CAST('${unseenConst(2).toString}' AS DOUBLE) " +
+          s"ELSE CAST('${unseenConst(3).toString}' AS DOUBLE) END"
+        lt +
+          s"${p}lp AS (SELECT $k, ntok, pos, CASE " +
+          "WHEN pos >= 3 AND c3n IS NOT NULL THEN l3.lv " +
+          s"WHEN pos >= 2 AND c2n IS NOT NULL THEN (CASE WHEN pos >= 3 THEN $lbq ELSE 0.0 END) + l2.lv " +
+          s"WHEN c1n IS NOT NULL THEN (least(3, pos) - 1) * $lbq + l1.lv " +
+          s"ELSE $unseenCase END AS logp " +
+          s"FROM ${p}j j " +
+          s"LEFT JOIN ${p}lt l3 ON l3.num = j.c3n AND l3.den = j.cd3 " +
+          s"LEFT JOIN ${p}lt l2 ON l2.num = j.c2n AND l2.den = j.cd2 " +
+          s"LEFT JOIN ${p}lt l1 ON l1.num = j.c1n AND l1.den = $den1f), "
+    }
     val block =
       s"${p}tk AS (SELECT $k, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws FROM $src), " +
         s"${p}tp AS (SELECT $k, len(ws) AS ntok, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos " +
@@ -213,11 +295,7 @@ object OracleSql {
         s"FROM ${p}lk q LEFT JOIN ${p}lm n1 ON n1.kk = q.k1 LEFT JOIN ${p}lm n2 ON n2.kk = q.k2 " +
         s"LEFT JOIN ${p}lm n3 ON n3.kk = q.k3 LEFT JOIN ${p}lm d2 ON d2.kk = q.kd2 " +
         s"LEFT JOIN ${p}lm d3 ON d3.kk = q.kd3), " +
-        s"${p}lp AS (SELECT $k, ntok, pos, CASE " +
-        "WHEN pos >= 3 AND c3n IS NOT NULL THEN ln(c3n / cd3) " +
-        s"WHEN pos >= 2 AND c2n IS NOT NULL THEN (CASE WHEN pos >= 3 THEN $lb ELSE 0.0 END) + ln(c2n / cd2) " +
-        s"WHEN c1n IS NOT NULL THEN (least(3, pos) - 1) * $lb + ln(c1n / $den1f) " +
-        s"ELSE (least(3, pos) - 1) * $lb + ln(1.0 / $den1d) END AS logp FROM ${p}j), " +
+        lpCte +
         // ORDER-FORCED left-fold, not sum(): the engine accumulates
         // log-probs sequentially by position (NGramLM.perplexity), and
         // DuckDB's unordered float sum() can differ in the last ulp
@@ -235,6 +313,19 @@ object OracleSql {
     * DuckDB's exp, which may differ in the last ulp.
     */
   val pplMaxLit: String = d17(NGramLM.PPL_MAX)
+
+  /** The engine's `round(PPL_MAX, 4)` — Spark Round on DoubleType is
+    * `BigDecimal(Double.toString(x)).setScale(4, HALF_UP).toDouble`,
+    * replicated here and shipped as a strtod literal. DuckDB's own
+    * `round(DOUBLE, 4)` computes x·1e4 → rint → /1e4, which at 1.07e13
+    * exceeds 2^53/1e4 and can land on a neighboring double — the exact
+    * disagreement behind the r4/r5 `perplexity_turns` red row.
+    */
+  val pplMaxRound4Lit: String = {
+    val r = new java.math.BigDecimal(java.lang.Double.toString(NGramLM.PPL_MAX))
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    s"CAST('${r.toString}' AS DOUBLE)"
+  }
 
   private def toU(x: String) =
     s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $P64 ELSE CAST($x AS HUGEINT) END)"

@@ -1567,12 +1567,29 @@ object SparkEntry {
           s"FROM documents d LEFT JOIN $r r ON r.doc_id = d.doc_id ORDER BY d.doc_id"
       },
       "perplexity_turns" -> {
-        val (block, r) = OracleSql.pplCtes("t", Seq("conv_id", "turn_idx"), "P")
+        // exactLn (r6, the CORRECTNESS_r04/r05 red row): every per-token
+        // ln comes from a dumped Java-computed log table, so the sum the
+        // oracle folds is IEEE-identical to the engine's on ANY DuckDB
+        // build — no data-dependent transcendental crosses the compare
+        // boundary (the residual exp/round exposure is audited ≥10^5
+        // ulps from every round(,4) boundary; see scripts/ppl_audit.py)
+        val (block, r) =
+          OracleSql.pplCtes("t", Seq("conv_id", "turn_idx"), "P", exactLn = true)
         "WITH t AS (SELECT source AS conv_id, " +
           "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS turn_idx, " +
           "CASE WHEN doc_id % 17 = 5 THEN '!!!' ELSE text END AS text FROM documents), " +
           s"$block " +
-          s"SELECT t.conv_id, t.turn_idx, round(coalesce(pp.ppl, ${OracleSql.pplMaxLit}), 4) AS ppl " +
+          // token-free rows emit round(PPL_MAX, 4) = PPL_MAX itself
+          // (1.07e13): DuckDB's multiply-rint round loses bits above
+          // 2^53/1e4 and lands on a NEIGHBORING double (..465 vs ..463)
+          // — the r4/r5 driver red row, invisible to the 9-significant-
+          // digit local compare. The Spark-side value is precomputed in
+          // Java (the engine's own Round semantics) and emitted as a
+          // literal; DuckDB round only ever runs on token-bearing ppl
+          // (≤ exp(12.3) ≈ 2.2e5, where both round paths are exact to
+          // 64 ulps — margin-audited in PplOracleMarginSpec).
+          s"SELECT t.conv_id, t.turn_idx, CASE WHEN pp.ppl IS NULL " +
+          s"THEN ${OracleSql.pplMaxRound4Lit} ELSE round(pp.ppl, 4) END AS ppl " +
           s"FROM t LEFT JOIN $r pp ON pp.conv_id = t.conv_id AND pp.turn_idx = t.turn_idx " +
           "ORDER BY t.conv_id, t.turn_idx"
       },
