@@ -140,13 +140,23 @@ object BloomAgg {
     }
   }
 
-  /** Membership test against serialized filter bytes. False ⇒ the id
-    * is DEFINITELY absent; true ⇒ maybe present.
+  /** Decode serialized filter bytes to the word array ONCE; None for
+    * malformed bytes (callers must then never prune). Probing a filter
+    * per (id, cell) through [[mightContain]] re-allocated the full
+    * 8 KiB array on every call (ADVICE r5) — decode up front and probe
+    * via [[mightContainWords]] in any loop.
     */
-  def mightContain(bytes: Array[Byte], canonical: String): Boolean = {
-    if (bytes == null || bytes.length != 8 * NUM_WORDS) return true // malformed: never prune
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val words = Array.fill(NUM_WORDS)(bb.getLong())
+  def decode(bytes: Array[Byte]): Option[Array[Long]] =
+    if (bytes == null || bytes.length != 8 * NUM_WORDS) None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Some(Array.fill(NUM_WORDS)(bb.getLong()))
+    }
+
+  /** Membership test against a pre-decoded word array (allocation-free).
+    * False ⇒ the id is DEFINITELY absent; true ⇒ maybe present.
+    */
+  def mightContainWords(words: Array[Long], canonical: String): Boolean = {
     val h1 = hashOf(canonical)
     val h2 = graft.util.Hash.mix(h1 ^ 0x9e3779b97f4a7c15L) | 1L
     var i = 0
@@ -157,4 +167,14 @@ object BloomAgg {
     }
     true
   }
+
+  /** Membership test against serialized filter bytes. False ⇒ the id
+    * is DEFINITELY absent; true ⇒ maybe present. One-shot convenience —
+    * loops should [[decode]] once and use [[mightContainWords]].
+    */
+  def mightContain(bytes: Array[Byte], canonical: String): Boolean =
+    decode(bytes) match {
+      case None => true // malformed: never prune
+      case Some(words) => mightContainWords(words, canonical)
+    }
 }

@@ -163,10 +163,12 @@ final class IvfIndex private[knn] (
       val rangeSkip = cellIdRange(cell).exists { case (mn, mx) =>
         !ids.exists(v => idCmp(mn, v) <= 0 && idCmp(v, mx) <= 0)
       }
-      val bloomSkip = !rangeSkip && cellBloom(cell).exists { bloom =>
-        !ids.exists(v => graft.functions.BloomAgg.mightContain(
-          bloom, graft.functions.BloomAgg.externalToCanonical(v)))
-      }
+      // decode the 8 KiB filter ONCE per cell, not once per (id, cell)
+      val bloomSkip = !rangeSkip &&
+        cellBloom(cell).flatMap(graft.functions.BloomAgg.decode).exists { words =>
+          !ids.exists(v => graft.functions.BloomAgg.mightContainWords(
+            words, graft.functions.BloomAgg.externalToCanonical(v)))
+        }
       if (!rangeSkip && !bloomSkip) {
         val existing = TableIO.readPartition(spark, base, cell)
         val kept = existing.filter(!F.col(idCol).isInCollection(ids))
@@ -197,7 +199,13 @@ final class IvfIndex private[knn] (
           idCmp(mx, hmn) < 0 || idCmp(hmx, mn) < 0
         }
       }
-      val blooms = hullSurvivors.flatMap(c => cellBloom(c).map(b => (c, b)))
+      // pre-decoded word arrays (ADVICE r5): the per-row UDF below
+      // probes every cell's filter — decoding 8 KiB per (id, cell)
+      // call allocated O(|ids|·|cells|) transient arrays; malformed
+      // blooms decode to None and fall into the conservative rewrite
+      // set exactly as legacy manifests do
+      val blooms = hullSurvivors.flatMap(c =>
+        cellBloom(c).flatMap(graft.functions.BloomAgg.decode).map(w => (c, w)))
       val noBloom = hullSurvivors.toSet -- blooms.map(_._1).toSet // legacy: rewrite
       val numericIds = cellIdKindIsNum(hullSurvivors)
       val bloomHits: Set[Int] =
@@ -214,7 +222,7 @@ final class IvfIndex private[knn] (
                     new java.math.BigDecimal(s))).getOrElse(s)
                 else s
               bloomsLocal.collect {
-                case (c, b) if BloomAgg.mightContain(b, canonical) => c
+                case (c, w) if BloomAgg.mightContainWords(w, canonical) => c
               }
             }
           }

@@ -30,7 +30,10 @@ object QualityClassifier {
 
   val NUM_FEATURES = 5 // bias, capped word count, symbol ratio, distinct ratio, capped mean word len
 
-  private val symbolRe = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}\\s]")
+  // whitespace as an EXPLICIT char set (ADVICE r5): Java's \s includes
+  // \x0B (vertical tab) while RE2's — the oracle's DuckDB regex — does
+  // not; the shared class below is what BOTH engines mean
+  private val symbolRe = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}\\t\\n\\f\\r ]")
 
   /** Feature vector — rational arithmetic only (counts and IEEE
     * divisions), every term replayable exactly in SQL.
@@ -48,8 +51,12 @@ object QualityClassifier {
     f(1) = math.min(wc, 256).toDouble / 256.0
     f(2) = if (cp == 0) 0.0 else sym.toDouble / cp
     f(3) = if (wc == 0) 0.0 else toks.distinct.length.toDouble / wc
+    // CODE-POINT token lengths (ADVICE r5): the oracle's DuckDB
+    // length(t) counts code points; UTF-16 units would diverge on
+    // non-BMP letters/digits
     f(4) = if (wc == 0) 0.0
-    else math.min(toks.map(_.length).sum.toDouble / wc, 16.0) / 16.0
+    else math.min(
+      toks.map(w => w.codePointCount(0, w.length)).sum.toDouble / wc, 16.0) / 16.0
     f
   }
 

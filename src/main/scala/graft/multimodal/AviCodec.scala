@@ -36,31 +36,39 @@ object AviCodec extends Serializable {
     */
   def parseAvi(b: Array[Byte]): Option[AviMeta] = {
     if (!isAvi(b)) return None
-    var p = 12
+    // LONG cursors (ADVICE r5, medium): a chunk size near Int.MaxValue
+    // passes the size guard, and an Int advance `p += 8 + size + pad`
+    // wraps negative — the loop guard still holds and u32le throws
+    // AIOOBE on a ~20-byte adversarial payload, violating the total
+    // "malformed → None" contract. Long arithmetic cannot wrap here
+    // (12 + bounded size terms), so an oversized advance simply exits.
+    var p = 12L
     while (p + 8 <= b.length) {
-      val size = u32le(b, p + 4)
+      val pi = p.toInt // p + 8 <= length <= Int.MaxValue
+      val size = u32le(b, pi + 4)
       if (size < 0 || size > Int.MaxValue - 8) return None
-      if (fourcc(b, p, "LIST") && fourcc(b, p + 8, "hdrl")) {
+      if (fourcc(b, pi, "LIST") && fourcc(b, pi + 8, "hdrl")) {
         // walk inside hdrl for avih
         var q = p + 12
-        val end = math.min(b.length.toLong, p + 8 + size).toInt
+        val end = math.min(b.length.toLong, p + 8 + size)
         while (q + 8 <= end) {
-          val csz = u32le(b, q + 4)
+          val qi = q.toInt
+          val csz = u32le(b, qi + 4)
           if (csz < 0 || csz > Int.MaxValue - 8) return None
-          if (fourcc(b, q, "avih") && csz >= 40 && q + 8 + 40 <= b.length) {
-            val usPerFrame = u32le(b, q + 8)
-            val nFrames = u32le(b, q + 24)
-            val w = u32le(b, q + 40)
-            val h = u32le(b, q + 44)
+          if (fourcc(b, qi, "avih") && csz >= 40 && q + 8 + 40 <= b.length) {
+            val usPerFrame = u32le(b, qi + 8)
+            val nFrames = u32le(b, qi + 24)
+            val w = u32le(b, qi + 40)
+            val h = u32le(b, qi + 44)
             return if (w <= 0 || h <= 0 || w > 0xffff || h > 0xffff ||
               nFrames < 0 || nFrames > Int.MaxValue || usPerFrame < 0) None
             else Some(AviMeta(w.toInt, h.toInt, nFrames.toInt, usPerFrame))
           }
-          q += 8 + csz.toInt + (csz.toInt & 1)
+          q += 8 + csz + (csz & 1)
         }
         return None // hdrl without avih
       }
-      p += 8 + size.toInt + (size.toInt & 1)
+      p += 8 + size + (size & 1)
     }
     None
   }
@@ -70,26 +78,28 @@ object AviCodec extends Serializable {
     */
   def firstFramePixels(b: Array[Byte]): Option[HeaderCodec.RgbImage] = {
     if (!isAvi(b)) return None
-    var p = 12
+    var p = 12L // Long cursors — see parseAvi
     while (p + 8 <= b.length) {
-      val size = u32le(b, p + 4)
+      val pi = p.toInt
+      val size = u32le(b, pi + 4)
       if (size < 0 || size > Int.MaxValue - 8) return None
-      if (fourcc(b, p, "LIST") && fourcc(b, p + 8, "movi")) {
+      if (fourcc(b, pi, "LIST") && fourcc(b, pi + 8, "movi")) {
         var q = p + 12
-        val end = math.min(b.length.toLong, p + 8 + size).toInt
+        val end = math.min(b.length.toLong, p + 8 + size)
         while (q + 8 <= end) {
-          val csz = u32le(b, q + 4)
+          val qi = q.toInt
+          val csz = u32le(b, qi + 4)
           if (csz < 0 || csz > Int.MaxValue - 8) return None
-          if (fourcc(b, q, "00dc")) {
+          if (fourcc(b, qi, "00dc")) {
             if (q + 8 + csz > end) return None
-            val frame = java.util.Arrays.copyOfRange(b, q + 8, q + 8 + csz.toInt)
+            val frame = java.util.Arrays.copyOfRange(b, qi + 8, qi + 8 + csz.toInt)
             return JpegCodec.decodePixels(frame)
           }
-          q += 8 + csz.toInt + (csz.toInt & 1)
+          q += 8 + csz + (csz & 1)
         }
         return None
       }
-      p += 8 + size.toInt + (size.toInt & 1)
+      p += 8 + size + (size & 1)
     }
     None
   }

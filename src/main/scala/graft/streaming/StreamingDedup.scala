@@ -72,6 +72,17 @@ object StreamingDedup {
       else Dedup.bandHashes(scala.collection.immutable.ArraySeq.unsafeWrapArray(
         Dedup.minhashSignature(sh, numHashes)), bands, rows)
     }
+    // fail fast on a non-integral id column (ADVICE r5): a silent
+    // cast("long") of e.g. a string id yields nulls that only surface
+    // later as a cryptic "null in non-nullable field" encoder error
+    // mid-stream, long after the contract violation
+    val idType = docs.schema(idCol).dataType
+    require(
+      idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType ||
+        idType == org.apache.spark.sql.types.ShortType ||
+        idType == org.apache.spark.sql.types.ByteType,
+      s"StreamingDedup id column '$idCol' must be an integral type, got $idType")
     // the watermarked event-time column must survive (under its tag)
     // all the way into the stateful operator — EventTimeTimeout is
     // rejected otherwise — so `ts` rides along untransformed

@@ -49,4 +49,26 @@ class AviCodecSpec extends AnyFunSuite {
       AviCodec.firstFramePixels(bad)
     }
   }
+
+  test("chunk size near Int.MaxValue cannot wrap the cursor (ADVICE r5)") {
+    // 20-byte adversarial payload: valid RIFF/AVI magic, one top-level
+    // chunk whose size (Int.MaxValue - 16) passes the size guard but
+    // whose Int advance would wrap p negative — the old cursor then
+    // passed the loop guard and u32le threw AIOOBE
+    def le32(v: Long): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val evil = "RIFF".getBytes ++ le32(0xffffffffL) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ le32(Int.MaxValue - 16L)
+    assert(AviCodec.parseAvi(evil).isEmpty)
+    assert(AviCodec.firstFramePixels(evil).isEmpty)
+    // same inside an hdrl/movi LIST: inner chunk with a huge size
+    val evilInner = "RIFF".getBytes ++ le32(0xffffffffL) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ le32(0x7fffff00L) ++ "hdrl".getBytes ++
+      "avih".getBytes ++ le32(Int.MaxValue - 16L)
+    assert(AviCodec.parseAvi(evilInner).isEmpty)
+    val evilMovi = "RIFF".getBytes ++ le32(0xffffffffL) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ le32(0x7fffff00L) ++ "movi".getBytes ++
+      "00xx".getBytes ++ le32(Int.MaxValue - 16L)
+    assert(AviCodec.firstFramePixels(evilMovi).isEmpty)
+  }
 }

@@ -67,6 +67,32 @@ class Bm25Spec extends SparkTestBase {
     assert(df.count() == 2)
   }
 
+  test("stats is ONE aggregation job; df matches the distinct-id definition") {
+    // r6: the fold of (n, totTok, per-term df) into one conditional
+    // aggregation must submit exactly one Spark job (the old shape ran
+    // a corpus agg + an explode/distinct df agg), and df must still
+    // count DOCUMENTS containing the term, not occurrences (doc 1/5
+    // repeat "data"; doc 6 is empty)
+    val group = s"bm25-stats-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "bm25 stats fold")
+    val st = Bm25.stats(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      "data model quality zzzabsent")
+    spark.sparkContext.clearJobGroup()
+    // ONE action = at most 2 AQE stage-jobs (partial + final of the
+    // two-phase aggregate); the old shape ran TWO actions (corpus agg
+    // + explode/distinct df agg) = 4-5 jobs
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(group).length <= 2,
+      "stats must be a single aggregation action")
+    assert(st.n == 6L)
+    import graft.dedup.Dedup.tokens
+    val docs = corpus.map { case (_, t) => tokens(t) }
+    st.terms.zip(st.idf).foreach { case (t, idf) =>
+      val df = docs.count(_.contains(t)).toDouble
+      assert(idf == math.log(1.0 + (st.n - df + 0.5) / (df + 0.5)),
+        s"idf for '$t' must reflect distinct-doc df=$df")
+    }
+  }
+
   test("partition-invariant") {
     val q = "data model quality"
     val a = Bm25.topK(corpus.toDF("doc_id", "text"), "doc_id", "text", q, 10)

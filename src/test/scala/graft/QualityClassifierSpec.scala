@@ -34,6 +34,20 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(QualityClassifier.features("@@@")(2) == 1.0)
   }
 
+  test("features use the oracle's code-point / RE2-whitespace semantics (ADVICE r5)") {
+    // non-BMP letter (𝐀, U+1D400, 2 UTF-16 units, 1 code point): token
+    // length and cp denominator must count code points like DuckDB's
+    // length(), not UTF-16 units
+    val astral = "𝐀" // one MATHEMATICAL BOLD CAPITAL A
+    val f = QualityClassifier.features(s"$astral$astral $astral$astral")
+    assert(f(4) == 2.0 / 16.0, "mean token length must be 2 code points")
+    assert(f(2) == 0.0, "astral letters are not symbols")
+    // vertical tab \x0B: RE2's \s excludes it, so BOTH engines must
+    // count it as a symbol (Java's \s would have silently excluded it)
+    val g = QualityClassifier.features("ab\u000Bcd")
+    assert(g(2) == 1.0 / 5.0, s"\\x0B must count as a symbol, got ${g(2)}")
+  }
+
   test("scoreDf: map-only plan, decision consistent with the local logit") {
     val docs = Seq(
       (1L, "a well formed sentence about several distinct meaningful topics"),
