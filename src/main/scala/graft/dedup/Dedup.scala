@@ -344,20 +344,28 @@ object Dedup extends Serializable {
   ): DataFrame = {
     val shU = F.udf((t: String) => simhash(t))
     val hamU = F.udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    // sketch-once discipline (the minhashClusters r5 lesson, applied to
+    // the LAST window-over-a-hot-key on a dedup path): the rep collapse
+    // was `min(id) OVER (PARTITION BY sig)` — identical boilerplate
+    // repeated 10^7 times shares ONE sig and sorts on ONE task. Now a
+    // map-side-partial groupBy(sig).min(id) (one row per distinct sig
+    // crosses the exchange) + a shuffle_hash join-back over the eagerly
+    // pinned (id, sig) scalars — the UDF still runs exactly once per
+    // row (the pin, not Exchange reuse, guarantees it), no sort
+    // anywhere before the output ORDER BY, and AQE skew-split applies
+    // to the join. Bucket-min VALUES are unchanged, so the bit-exact
+    // DuckDB oracle (OracleSql.simhashSql) is unaffected.
     val sigs = df
       .filter(hasTokensCol(F.col(textCol)))
       .select(F.col(idCol).as("id"), shU(F.col(textCol)).as("sig"))
-    // rep via window min over sig: the intra and groups branches then
-    // share ONE identical exchange (ReuseExchange) instead of a
-    // groupBy + join that re-ran the simhash UDF per branch
-    val withRep = sigs.withColumn("rep",
-      F.min("id").over(Window.partitionBy("sig")))
+      .localCheckpoint(true)
+    val reps = sigs.groupBy("sig").agg(F.min("id").as("rep"))
+    val withRep = sigs.join(reps.hint("shuffle_hash"), Seq("sig"))
     // intra-group: every non-rep member pairs with its rep at distance 0
     val intra = withRep.filter(F.col("id") =!= F.col("rep"))
       .select(F.col("rep").as("id_a"), F.col("id").as("id_b"),
         F.lit(0).as("hamming"))
-    val groups = withRep.filter(F.col("id") === F.col("rep"))
-      .select(F.col("rep"), F.col("sig"))
+    val groups = reps.select(F.col("rep"), F.col("sig"))
     val banded = groups.select(
       F.col("rep"), F.col("sig"),
       F.explode(F.array((0 until 4).map(b =>
@@ -907,7 +915,14 @@ object Dedup extends Serializable {
             x => x.getField("line")),
           "\n").as("text"),
         F.count(F.lit(1)).as("n_kept"))
-    val totals = lines.groupBy("id").agg(F.count(F.lit(1)).as("n_lines"))
+    // n_lines = the split-array size, computed MAP-ONLY on the doc row
+    // (r6): the count of posexplode rows per id equals the array length
+    // by definition, so the old `lines.groupBy(id).count()` was a third
+    // full explode of the corpus plus an exchange for a value already
+    // known before exploding
+    val totals = docs.select(F.col(idCol).as("id"),
+      F.size(F.split(F.coalesce(F.col(textCol), F.lit("")), "\n", -1))
+        .cast("long").as("n_lines"))
     totals.join(reassembled, Seq("id"), "left")
       .select(F.col("id"),
         F.coalesce(F.col("text"), F.lit("")).as("text"),

@@ -68,12 +68,18 @@ object GrammarRules extends Serializable {
     * regex scan, and on clean text most rules are skipped entirely).
     * Empty = always run.
     */
+  /** @param noSentPunctOnly the pattern can only match a text with NO
+    *   sentence punctuation anywhere (every char is consumed by a piece
+    *   that excludes [.!?]) — one indexOf beats an anchored regex scan
+    *   on the common punctuated text.
+    */
   private final case class Spec(
       ruleId: String,
       ruleName: String,
       pattern: Pattern,
       confidence: Double,
-      guards: Array[String]
+      guards: Array[String],
+      noSentPunctOnly: Boolean = false
   )
 
   private def ci(p: String) = Pattern.compile(p, Pattern.CASE_INSENSITIVE)
@@ -100,7 +106,8 @@ object GrammarRules extends Serializable {
     Spec("BASIC_001", "subject_verb_disagreement", ci("\\b(he|she|it)\\s+are\\b"), 0.9, Array("are")),
     Spec("BASIC_002", "double_negative",
       ci("\\b(don't|doesn't|didn't|won't|can't|couldn't|shouldn't|wouldn't)\\s+\\w*n't\\b"), 0.8, Array("n't", "n’t")),
-    Spec("BASIC_003", "incomplete_sentence", ci("^\\s*[A-Z][^.!?]*[a-z]\\s*$"), 0.7, Array.empty)
+    Spec("BASIC_003", "incomplete_sentence", ci("^\\s*[A-Z][^.!?]*[a-z]\\s*$"), 0.7,
+      Array.empty, noSentPunctOnly = true)
   )
 
   /** The RE2-compatible (rule_id, pattern, confidence) subset of the
@@ -129,37 +136,55 @@ object GrammarRules extends Serializable {
       "(?i)\\b(don't|doesn't|didn't|won't|can't|couldn't|shouldn't|wouldn't)\\s+\\w*n't\\b", 0.8)
   )
 
-  private val tokenP = Pattern.compile("\\b\\w+\\b")
-  private val sentEndP = Pattern.compile("[.!?]")
+  private val areP = Pattern.compile("\\bare\\b", Pattern.CASE_INSENSITIVE)
+
+  // the ASCII \w class of tokenP's \b\w+\b (no UNICODE_CHARACTER_CLASS)
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
 
   /** POS-bigram rule (cfg_checker.py:256-277): noun followed by "are",
     * conf 0.75. Tagger = lexicon lookup + suffix fallback
     * (cfg_generator.py:407-421 — the de-facto semantics, since the
     * reference's LLM tagger path always throws, SURVEY.md §7.4).
     * Sentence boundary approximated as "no [.!?] between the tokens".
+    *
+    * r6 hot-path shape: the old implementation walked EVERY `\b\w+\b`
+    * token of the text (one String allocation per token via
+    * `m.group()`) just to find the pairs ending in "are". Now only the
+    * `\bare\b` occurrences are matched and the preceding token is
+    * recovered with an allocation-free backward scan over the same
+    * ASCII word class — identical pairs, identical offsets (the
+    * reference-parity harness pins the semantics).
     */
   private def posHits(text: String, out: ArrayBuffer[RuleHit],
       withContext: Boolean = true): Unit = {
-    val m = tokenP.matcher(text)
-    var prevWord: String = null
-    var prevStart = -1
-    var prevEnd = -1
+    val m = areP.matcher(text)
     while (m.find()) {
-      val w = m.group()
-      if (prevWord != null && w.equalsIgnoreCase("are")) {
-        val between = text.substring(prevEnd, m.start())
-        if (!sentEndP.matcher(between).find()) {
-          val lower = prevWord.toLowerCase
-          val tags = Cyk.lexicon.getOrElse(lower, Set(Cyk.guessPosFallback(lower)))
-          if (tags.contains("N") && !tags.contains("AUX") && !tags.contains("PRP") &&
-              !tags.contains("DET")) {
-            out += RuleHit("POS_SUBJ_VERB", "POS Subject-Verb Agreement",
-              prevStart, m.end(), s"$prevWord $w", 0.75,
-              if (withContext) context(text, prevStart, m.end()) else "")
-          }
+      val areStart = m.start()
+      // backward over the inter-token gap; a sentence end [.!?] there
+      // breaks the bigram (the old `sentEndP.find(between)` check)
+      var i = areStart - 1
+      var sentEnd = false
+      while (i >= 0 && !isWordChar(text.charAt(i))) {
+        val c = text.charAt(i)
+        if (c == '.' || c == '!' || c == '?') sentEnd = true
+        i -= 1
+      }
+      if (i >= 0 && !sentEnd) {
+        val prevEnd = i + 1
+        while (i >= 0 && isWordChar(text.charAt(i))) i -= 1
+        val prevStart = i + 1
+        val prevWord = text.substring(prevStart, prevEnd)
+        val lower = prevWord.toLowerCase
+        val tags = Cyk.lexicon.getOrElse(lower, Set(Cyk.guessPosFallback(lower)))
+        if (tags.contains("N") && !tags.contains("AUX") && !tags.contains("PRP") &&
+            !tags.contains("DET")) {
+          out += RuleHit("POS_SUBJ_VERB", "POS Subject-Verb Agreement",
+            prevStart, m.end(), s"$prevWord ${m.group()}", 0.75,
+            if (withContext) context(text, prevStart, m.end()) else "")
         }
       }
-      prevWord = w; prevStart = m.start(); prevEnd = m.end()
     }
   }
 
@@ -182,6 +207,16 @@ object GrammarRules extends Serializable {
   ): Seq[RuleHit] = {
     if (text == null || text.isEmpty) return Nil
     val lower = text.toLowerCase
+    val hasSentPunct = {
+      var j = 0
+      var found = false
+      while (!found && j < text.length) {
+        val c = text.charAt(j)
+        found = c == '.' || c == '!' || c == '?'
+        j += 1
+      }
+      found
+    }
     val all = new ArrayBuffer[RuleHit](8)
     var i = 0
     while (i < specs.length) {
@@ -192,6 +227,7 @@ object GrammarRules extends Serializable {
         if (lower.contains(s.guards(g))) run = true
         g += 1
       }
+      if (run && s.noSentPunctOnly && hasSentPunct) run = false
       if (run) {
         val m = s.pattern.matcher(text)
         while (m.find()) {

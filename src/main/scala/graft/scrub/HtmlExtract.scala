@@ -205,9 +205,19 @@ object HtmlExtract extends Serializable {
       content = selectFirst(root, _.name == "body").map(getText).getOrElse(content)
     if (content.isEmpty) content = getText(root)
     val cleaned = Scrubber.cleanTextReference(content)
-    val hash = java.security.MessageDigest.getInstance("MD5")
+    val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(cleaned.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+    // table-driven hex: "%02x".format per byte paid a full Formatter
+    // allocation 32× per row on the extract hot path
+    val hex = new Array[Char](digest.length * 2)
+    var hi = 0
+    while (hi < digest.length) {
+      val b = digest(hi) & 0xff
+      hex(hi * 2) = Character.forDigit(b >>> 4, 16)
+      hex(hi * 2 + 1) = Character.forDigit(b & 0xf, 16)
+      hi += 1
+    }
+    val hash = new String(hex)
     Extracted(Scrubber.cleanTextReference(title), cleaned,
       if (cleaned.isEmpty) 0 else cleaned.split(" ").count(_.nonEmpty), hash)
   }

@@ -173,12 +173,19 @@ object Scrubber extends Serializable {
     "Share\\s+this.*?(?=\\n|$)"
   ).map(p => Pattern.compile(p, Pattern.CASE_INSENSITIVE))
 
+  // compiled once like every other pattern in this object (r6: these
+  // two were recompiled on every call — ~2×100µs per row on the
+  // html_extract hot path, the exact per-call-compile cost this
+  // object's scaladoc calls out in the reference)
+  private val urlP = Pattern.compile(URL_RE)
+  private val emailP = Pattern.compile(EMAIL_RE)
+
   def cleanTextReference(text: String): String = {
     if (text == null || text.isEmpty) return ""
     var t = wsP.matcher(text).replaceAll(" ").trim
     noisePatterns.foreach(p => t = p.matcher(t).replaceAll(""))
-    t = Pattern.compile(URL_RE).matcher(t).replaceAll("")
-    t = Pattern.compile(EMAIL_RE).matcher(t).replaceAll("")
+    t = urlP.matcher(t).replaceAll("")
+    t = emailP.matcher(t).replaceAll("")
     t = dots3P.matcher(t).replaceAll("...")
     t = bangsP.matcher(t).replaceAll("!")
     t = qmarksP.matcher(t).replaceAll("?")
