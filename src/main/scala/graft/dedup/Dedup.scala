@@ -54,31 +54,50 @@ object Dedup extends Serializable {
   /** Exact dedup, deterministic first-wins (SURVEY.md §2.2 P9): the
     * reference keeps the FIRST doc per content hash (order-dependent
     * set check, web_scraper.py:186-196); Spark's dropDuplicates keeps
-    * an arbitrary row, so we tie-break with row_number over an
-    * explicit ordering key.
+    * an arbitrary row, so we keep the row with the minimum `orderCol`
+    * per content hash. `orderCol` must be unique per row (a doc id) —
+    * that is also what makes "first" well-defined at all.
+    *
+    * r6: two-phase min + join-back (the repo-wide first-occurrence
+    * shape) instead of `row_number() over (partition by md5(text))` —
+    * the window sorted every member of a hot content group (one
+    * boilerplate doc repeated 10^7 times at corpus scale) on ONE task,
+    * the exact hazard the line/span/minhash paths already engineered
+    * out. The map-side partial min ships one row per distinct hash;
+    * the join-back build side is one row per hash (shuffle_hash, no
+    * sort) and AQE skew-split applies.
     */
   def exactDedup(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
-    val w = Window.partitionBy(F.md5(F.col(textCol))).orderBy(F.col(orderCol))
-    df.withColumn("__rn", F.row_number().over(w))
-      .filter(F.col("__rn") === 1)
-      .drop("__rn")
+    val withH = df.withColumn("__h", F.md5(F.col(textCol)))
+    val firsts = withH.groupBy("__h")
+      .agg(F.min(F.col(orderCol)).as("__first"))
+    withH.join(firsts.hint("shuffle_hash"), Seq("__h"))
+      .filter(F.col(orderCol) === F.col("__first"))
+      .drop("__h", "__first")
   }
 
   /** Word n-gram shingle set: lowercased, distinct, hashed to Long,
     * SORTED ascending (jaccard's merge-intersection requires it).
+    *
+    * r6: each word's 64-bit hash is computed ONCE (the n-gram fold used
+    * to call wordHash64 — an O(len) char walk — n times per word); the
+    * fold over precomputed hashes is value-identical by construction.
     */
   def shingles(text: String, n: Int): Array[Long] = {
     val words = tokens(text)
     if (words.isEmpty) return Array.emptyLongArray
+    val wh = new Array[Long](words.length)
+    var p = 0
+    while (p < words.length) { wh(p) = wordHash64(words(p)); p += 1 }
     if (words.length < n) {
-      return words.map(wordHash64).distinct.sorted
+      return wh.distinct.sorted
     }
     val out = new java.util.TreeSet[java.lang.Long]()
     var i = 0
     while (i + n <= words.length) {
       var h = 0x2545f4914f6cdd1dL
       var j = i
-      while (j < i + n) { h = mix(h ^ wordHash64(words(j))); j += 1 }
+      while (j < i + n) { h = mix(h ^ wh(j)); j += 1 }
       out.add(h)
       i += 1
     }
@@ -88,14 +107,19 @@ object Dedup extends Serializable {
     arr
   }
 
-  /** MinHash signature: numHashes permutations h_i(x) = mix(x ^ seed_i). */
+  /** MinHash signature: numHashes permutations h_i(x) = mix(x ^ seed_i).
+    * r6: the permutation seeds mix(f ^ const) depend only on f — hoisted
+    * out of the |sh|×numHashes hot loop (one mix per cell instead of
+    * two); values identical by construction.
+    */
   def minhashSignature(sh: Array[Long], numHashes: Int): Array[Long] = {
+    val seeds = permSeeds(numHashes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {
       var f = 0
       while (f < numHashes) {
-        val h = mix(sh(i) ^ mix(f.toLong + 0x100001b3L))
+        val h = mix(sh(i) ^ seeds(f))
         if (h < sig(f)) sig(f) = h
         f += 1
       }
@@ -103,6 +127,14 @@ object Dedup extends Serializable {
     }
     sig
   }
+
+  // deterministic constants (NOT data/result caching): the f-th MinHash
+  // permutation seed, shared across all rows of a task
+  private val permSeedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def permSeeds(numHashes: Int): Array[Long] =
+    permSeedCache.computeIfAbsent(numHashes,
+      n => Array.tabulate(n)(f => mix(f.toLong + 0x100001b3L)))
 
   /** Exact Jaccard over two SORTED hash arrays. Empty sets share no
     * content → 0.0 (dedup semantics: token-less rows never match).
@@ -284,9 +316,14 @@ object Dedup extends Serializable {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // pinned: the sketch table feeds the banding AND both sig
+    // re-attach joins below; one row per conversation (id + 64 longs),
+    // so the materialization is tiny while saving two re-aggregations
+    // of every turn's shingles
     val sigs = turns.groupBy(F.col(idCol).as("id"))
       .agg(graft.functions.MinHashAgg.minhash_agg(F.col(textCol), numHashes).as("sig"))
       .filter(F.array_min(F.col("sig")) =!= Long.MaxValue) // some turn had tokens
+      .localCheckpoint(true)
     val bandU = F.udf((sig: Seq[Long]) => bandHashes(sig.toIndexedSeq, bands, rows))
     // estimated Jaccard = fraction of agreeing signature components
     val estU = F.udf { (a: Seq[Long], b: Seq[Long]) =>
@@ -295,14 +332,26 @@ object Dedup extends Serializable {
       while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
       eq.toDouble / a.length
     }
+    // de-payloaded band join (r6, the minhashNearDups/embeddingNearDups
+    // shape): only (band, bh, id) scalars reach the band exchange and
+    // the pair dedup — previously each banded row carried its 64-long
+    // signature through both (≈1 KB/row), and the pair dedup had to
+    // first() those arrays, a non-hashable buffer type that forced a
+    // SortAggregate over all candidate pairs. Bare (id_a, id_b) pairs
+    // dedup as a pure HashAggregate; signatures re-attach by id
+    // afterwards, touching only surviving pairs.
     val banded = sigs
-      .select(F.col("id"), F.col("sig"), F.explode(bandU(F.col("sig"))).as("b"))
-      .select(F.col("id"), F.col("sig"), F.col("b._1").as("band"), F.col("b._2").as("bh"))
-    val l = banded.select(F.col("band"), F.col("bh"), F.col("id").as("id_a"), F.col("sig").as("sig_a"))
-    val r = banded.select(F.col("band"), F.col("bh"), F.col("id").as("id_b"), F.col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bh"))
+      .select(F.col("id"), F.explode(bandU(F.col("sig"))).as("b"))
+      .select(F.col("id"), F.col("b._1").as("band"), F.col("b._2").as("bh"))
+    val pairs = banded.select(F.col("band"), F.col("bh"), F.col("id").as("id_a"))
+      .join(banded.select(F.col("band"), F.col("bh"), F.col("id").as("id_b")),
+        Seq("band", "bh"))
       .filter(F.col("id_a") < F.col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(sigs.select(F.col("id").as("id_a"), F.col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(F.col("id").as("id_b"), F.col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard", estU(F.col("sig_a"), F.col("sig_b")))
       .filter(F.col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
@@ -506,6 +555,15 @@ object Dedup extends Serializable {
     // same hot-gram sort the groupBy just avoided. AQE skew-split can
     // further rebalance a hot gram's join partition.
     val wRank = Window.partitionBy("id").orderBy(F.col("df_g"), F.col("g"))
+    // NOT pinned (r6 measured negative): prefix feeds both sides of the
+    // candidate self-join, so an eager localCheckpoint here would run
+    // the join+window pipeline once instead of twice — but the A/B
+    // (BenchOne, 8 reps, same harness, spin ~80) read 1.23s unpinned vs
+    // 1.72s pinned at sf0.1: the materialization costs more than the
+    // duplicated window pass saves (the subtree below the window's
+    // exchange is already shared via ReuseExchange; only the small
+    // post-filter sort+window re-runs). At 100 TB the trade can flip —
+    // a future round should gate a reliable checkpoint on input size.
     val prefix = grams
       .join(gramDf.hint("shuffle_hash"), Seq("g"))
       .withColumn("rn", F.row_number().over(wRank))
@@ -768,12 +826,17 @@ object Dedup extends Serializable {
   def windowHashes(text: String, w: Int): Array[Long] = {
     val words = tokens(text)
     if (words.length < w) return Array.emptyLongArray
+    // r6: hash each word once (the window fold used to re-walk every
+    // word's chars w times); fold values identical by construction
+    val wh = new Array[Long](words.length)
+    var p = 0
+    while (p < words.length) { wh(p) = wordHash64(words(p)); p += 1 }
     val out = new Array[Long](words.length - w + 1)
     var i = 0
     while (i + w <= words.length) {
       var h = 0x2545f4914f6cdd1dL
       var j = i
-      while (j < i + w) { h = mix(h ^ wordHash64(words(j))); j += 1 }
+      while (j < i + w) { h = mix(h ^ wh(j)); j += 1 }
       out(i) = h
       i += 1
     }
@@ -826,8 +889,12 @@ object Dedup extends Serializable {
       .select(F.col(idCol).as("id"),
         F.posexplode(whU(F.col(textCol))).as(Seq("s", "h")))
       .localCheckpoint()
+    // pair_min ≡ min(struct(id, s)) but hash-aggregable (r6): the
+    // built-in struct min forces SortAggregate — a per-partition sort
+    // of every window occurrence before the partial aggregate
     val firsts = wins.groupBy("h")
-      .agg(F.min(F.struct(F.col("id"), F.col("s"))).as("first"))
+      .agg(graft.functions.PairMinAgg
+        .pair_min(F.col("id"), F.col("s"), "id", "s").as("first"))
     val dropped = wins
       .join(firsts.hint("shuffle_hash"), Seq("h"))
       .filter(!(F.col("first.id") === F.col("id") && F.col("first.s") === F.col("s")))
@@ -895,9 +962,13 @@ object Dedup extends Serializable {
       .withColumn("norm", F.lower(F.trim(F.col("line"))))
     val content = lines.filter(F.col("norm") =!= "")
       .withColumn("h", F.md5(F.col("norm")))
-    // two-phase first-occurrence + df: one row per distinct line
+    // two-phase first-occurrence + df: one row per distinct line.
+    // pair_min ≡ min(struct(id, pos)) but hash-aggregable (r6): with
+    // the struct min this stage was a SortAggregate, sorting every
+    // line occurrence per partition before the partial aggregate
     val stats = content.groupBy("h")
-      .agg(F.min(F.struct(F.col("id"), F.col("pos"))).as("first"),
+      .agg(graft.functions.PairMinAgg
+        .pair_min(F.col("id"), F.col("pos"), "id", "pos").as("first"),
         F.count(F.lit(1)).as("df"))
     val keptContent = content
       .join(stats.hint("shuffle_hash"), Seq("h"))

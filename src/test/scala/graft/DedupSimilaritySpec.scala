@@ -22,6 +22,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out.toSeq == Seq(1L, 2L, 3L, 5L)) // 4 dropped (dup of 1, higher id)
   }
 
+  test("exact dedup: two-phase min, no window — hot content group exact (r6)") {
+    // a boilerplate doc repeated 10^4 times: the old row_number()
+    // window sorted the whole group on one task; the two-phase shape
+    // must keep only the min-id row, values identical, zero WindowExec
+    import spark.implicits._
+    val docs = ((0L until 10000L).map(i => (i, "same boilerplate body")) :+
+      (10000L, "one unique doc")).toDF("id", "text")
+    val res = Dedup.exactDedup(docs, "text", "id")
+    assert(res.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 10000L))
+    val p = res.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("minhash LSH finds planted near-dups and exact dups, not unrelated pairs") {
     val pairs = Dedup.minhashNearDups(docs, "id", "text", threshold = 0.6)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -50,9 +50,12 @@ class PlanShapeSpec extends SparkTestBase {
       import spark.implicits._
       val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f h")).toDF("id", "text")
       val embs = Seq((1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f))).toDF("id", "emb")
+      val turns = Seq(("c1", "a b c d e f g"), ("c2", "a b c d e f h"))
+        .toDF("conv_id", "text")
       Seq(
         graft.dedup.Dedup.minhashNearDups(docs, "id", "text"),
-        graft.dedup.Dedup.embeddingNearDups(embs, "id", "emb")
+        graft.dedup.Dedup.embeddingNearDups(embs, "id", "emb"),
+        graft.dedup.Dedup.convNearDups(turns) // de-payloaded in r6
       ).foreach { df =>
         val exchanges = df.queryExecution.executedPlan.collect {
           case e: ShuffleExchangeExec => e
