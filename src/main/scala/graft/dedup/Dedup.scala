@@ -68,7 +68,12 @@ object Dedup extends Serializable {
     * sort) and AQE skew-split applies.
     */
   def exactDedup(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
-    val withH = df.withColumn("__h", F.md5(F.col(textCol)))
+    // NULL text hashes to a sentinel (not valid hex, so it cannot
+    // collide with a real md5): the r5 window kept one representative
+    // of the NULL-text group, and a plain equi-join on md5(NULL)=NULL
+    // would silently drop ALL such rows instead.
+    val withH = df.withColumn(
+      "__h", F.coalesce(F.md5(F.col(textCol)), F.lit("__null_text__")))
     val firsts = withH.groupBy("__h")
       .agg(F.min(F.col(orderCol)).as("__first"))
     withH.join(firsts.hint("shuffle_hash"), Seq("__h"))

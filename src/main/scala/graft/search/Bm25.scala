@@ -49,6 +49,13 @@ object Bm25 {
     * map partition instead of one distinct-machinery (term, id) pair
     * per document. Also folds the old separate (n, totTok) job into the
     * same pass: one corpus tokenize instead of two.
+    *
+    * Precondition (shared with corpus size n and avgdl, which have
+    * always counted rows): `docs` carries ONE ROW PER DOCUMENT. The
+    * per-row `array_contains` sum equals the old distinct-by-id df
+    * exactly under that contract; a frame with duplicate ids must be
+    * deduplicated upstream (idCol is retained in the signature for the
+    * call-site contract, not consumed here).
     */
   def stats(docs: DataFrame, idCol: String, textCol: String,
       query: String): Stats = {

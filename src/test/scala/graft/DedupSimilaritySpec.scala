@@ -36,6 +36,18 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("exact dedup keeps one representative of the NULL-text group (r5 window semantics)") {
+    // md5(NULL) is NULL and a bare equi-join would drop every NULL-text
+    // row; the null-safe sentinel key must keep exactly the min-id one,
+    // matching the old row_number() window's NULL-partition behavior.
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, null: String), (3L, null: String), (4L, "a"))
+      .toDF("id", "text")
+    val out = Dedup.exactDedup(docs, "text", "id")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
   test("minhash LSH finds planted near-dups and exact dups, not unrelated pairs") {
     val pairs = Dedup.minhashNearDups(docs, "id", "text", threshold = 0.6)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
